@@ -1,0 +1,18 @@
+"""flux_fp8_api_tpu — a TPU-native (JAX/XLA/Pallas) FLUX.1 fp8 inference framework.
+
+Brand-new implementation with the capabilities of the reference `aredden/flux-fp8-api`
+(see SURVEY.md): FluxPipeline orchestration, true fp8-scaled matmul layers, tiered
+quantization, LoRA hot-load, prompt emphasis, T5/CLIP conditioning, VAE, FastAPI/Gradio
+front-ends — redesigned for TPU (params-as-pytree, jit/scan, Pallas kernels, mesh
+sharding, host offload).
+"""
+
+__version__ = "0.1.0"
+
+from .utils.config import (  # noqa: F401
+    ModelSpec,
+    ModelVersion,
+    QuantizationDtype,
+    load_config,
+    load_config_from_path,
+)

@@ -1,0 +1,95 @@
+"""Joint-sequence attention for the FLUX DiT.
+
+Replaces the reference's RoPE + ``F.scaled_dot_product_attention`` pair
+(``modules/flux_model.py:41-45``) with a TPU-native stack:
+
+- layout is BTNH (batch, seq, heads, head_dim) end-to-end — the MXU-friendly layout JAX
+  attention kernels expect, avoiding the reference's permute-to-BNLH-and-back dance;
+- RoPE is applied from precomputed fp32 cos/sin tables (see :mod:`.rope`);
+- the attention core dispatches to a Pallas flash kernel on TPU (tiled online-softmax,
+  no L×L materialization) and to XLA SDPA elsewhere (CPU tests).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .rope import apply_rope
+
+
+def _sdpa_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Reference-semantics SDPA in fp32 softmax, BTNH layout.
+
+    float16 upcasts to fp32 (XLA:CPU lacks an f16×f16→f32 dot; fp32 softmax also
+    strictly dominates the reference's fp16-SDPA numerics)."""
+    dtype = q.dtype
+    if dtype == jnp.float16:
+        q, k, v = q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32)
+    return jax.nn.dot_product_attention(q, k, v, implementation="xla").astype(dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _flash_fn(block_q: int, block_kv: int):
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
+        flash_attention,
+    )
+
+    sizes = BlockSizes(
+        block_q=block_q,
+        block_k_major=block_kv,
+        block_k=block_kv,
+        block_b=1,
+    )
+    return functools.partial(flash_attention, causal=False, block_sizes=sizes)
+
+
+def attention_core(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    use_pallas: bool = True,
+) -> jnp.ndarray:
+    """Softmax attention over the full (txt+img) joint sequence.
+
+    Args:
+      q, k, v: (B, L, N, H). L is padded by callers to a multiple of 256 when the
+        Pallas path is enabled (FLUX seq lens — txt 256/512 + img (h/16)(w/16) — already
+        are for standard resolutions).
+    Returns:
+      (B, L, N, H) in q.dtype.
+    """
+    if use_pallas and q.shape[1] % 256 == 0 and jax.default_backend() == "tpu":
+        # Pallas flash kernel wants BNLH.
+        qt, kt, vt = (x.transpose(0, 2, 1, 3) for x in (q, k, v))
+        sm_scale = 1.0 / (q.shape[-1] ** 0.5)
+        out = _flash_fn(256, 512 if q.shape[1] % 512 == 0 else 256)(
+            qt, kt, vt, sm_scale=sm_scale
+        )
+        return out.transpose(0, 2, 1, 3).astype(q.dtype)
+    return _sdpa_xla(q, k, v)
+
+
+def attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    use_pallas: bool = True,
+) -> jnp.ndarray:
+    """RoPE + SDPA + head merge (reference ``attention``, flux_model.py:41-45).
+
+    Args:
+      q, k, v: (B, L, N, H).
+      cos, sin: rope tables broadcastable to (B, L, 1, H // 2).
+    Returns:
+      (B, L, N*H) — heads merged, matching the reference's reshape.
+    """
+    q, k = apply_rope(q, k, cos, sin)
+    x = attention_core(q, k, v, use_pallas=use_pallas)
+    b, l, n, h = x.shape
+    return x.reshape(b, l, n * h)

@@ -1,0 +1,89 @@
+"""Shared tiny-model fixtures (SURVEY.md §4: scaled-down Flux for CPU-runnable e2e)."""
+
+import jax
+import jax.numpy as jnp
+
+from flux_fp8_api_tpu.models.flux import FluxStatic, init_flux_params
+from flux_fp8_api_tpu.utils.config import (
+    AutoEncoderParams,
+    FluxParams,
+    ModelSpec,
+    ModelVersion,
+)
+
+TINY_FLUX_PARAMS = FluxParams(
+    in_channels=16,  # latent C=4, 2x2 packed
+    vec_in_dim=32,
+    context_in_dim=48,
+    hidden_size=64,
+    mlp_ratio=4.0,
+    num_heads=4,  # head_dim 16
+    depth=2,
+    depth_single_blocks=3,
+    axes_dim=[4, 6, 6],
+    theta=10_000,
+    qkv_bias=True,
+    guidance_embed=True,
+)
+
+TINY_AE_PARAMS = AutoEncoderParams(
+    resolution=64,
+    in_channels=3,
+    ch=16,
+    out_ch=3,
+    ch_mult=[1, 2],
+    num_res_blocks=1,
+    z_channels=4,
+    scale_factor=0.3611,
+    shift_factor=0.1159,
+)
+
+
+def tiny_spec(**overrides) -> ModelSpec:
+    defaults = dict(
+        version=ModelVersion.flux_dev,
+        params=TINY_FLUX_PARAMS,
+        ae_params=TINY_AE_PARAMS,
+        ckpt_path=None,
+        ae_path=None,
+        repo_id=None,
+        repo_flow=None,
+        repo_ae=None,
+        text_enc_path=None,
+        flux_device="cpu",
+        ae_device="cpu",
+        text_enc_device="cpu",
+        flow_dtype="bfloat16",
+        use_pallas=False,
+    )
+    defaults.update(overrides)
+    return ModelSpec(**defaults)
+
+
+def tiny_flux(key=None, compute_dtype="bfloat16"):
+    cfg = FluxStatic.from_params(
+        TINY_FLUX_PARAMS, compute_dtype=compute_dtype, use_pallas=False
+    )
+    params = init_flux_params(key or jax.random.PRNGKey(0), cfg, jnp.float32)
+    return cfg, params
+
+
+def tiny_inputs(key=None, batch=1, h_latent=8, w_latent=8, txt_len=16):
+    """Packed-latent inputs for the tiny flux (latent HxW → seq (h/2)(w/2))."""
+    from flux_fp8_api_tpu.ops.packing import make_img_ids, make_txt_ids
+
+    key = key or jax.random.PRNGKey(42)
+    ks = jax.random.split(key, 3)
+    seq = (h_latent // 2) * (w_latent // 2)
+    img = jax.random.normal(ks[0], (batch, seq, TINY_FLUX_PARAMS.in_channels))
+    txt = jax.random.normal(ks[1], (batch, txt_len, TINY_FLUX_PARAMS.context_in_dim))
+    y = jax.random.normal(ks[2], (batch, TINY_FLUX_PARAMS.vec_in_dim))
+    return dict(
+        img=img,
+        img_ids=make_img_ids(h_latent, w_latent, batch),
+        txt=txt,
+        txt_ids=make_txt_ids(txt_len, batch),
+        timesteps=jnp.full((batch,), 0.5),
+        y=y,
+        guidance=jnp.full((batch,), 3.5),
+    )
