@@ -1,0 +1,101 @@
+"""Pure-Python safetensors reader/writer with mmap, bf16 and fp8 support.
+
+The reference leans on the Rust safetensors wheel (util.py:8, flux_model.py:722); here
+the format is parsed directly — 8-byte LE header length, JSON header of
+``{name: {dtype, shape, data_offsets}}``, then a flat byte buffer — and tensors are
+materialized as numpy views over an ``mmap`` (zero-copy until JAX transfers them to
+device). This also unlocks dtypes the numpy safetensors API refuses (BF16, F8_E4M3,
+F8_E5M2) via ``ml_dtypes``.
+"""
+
+from __future__ import annotations
+
+import json
+import mmap
+from pathlib import Path
+from typing import Dict, Iterator, Tuple
+
+import ml_dtypes
+import numpy as np
+
+_DTYPES = {
+    "F64": np.float64,
+    "F32": np.float32,
+    "F16": np.float16,
+    "BF16": ml_dtypes.bfloat16,
+    "F8_E4M3": ml_dtypes.float8_e4m3fn,
+    "F8_E5M2": ml_dtypes.float8_e5m2,
+    "I64": np.int64,
+    "I32": np.int32,
+    "I16": np.int16,
+    "I8": np.int8,
+    "U8": np.uint8,
+    "BOOL": np.bool_,
+}
+_DTYPE_NAMES = {np.dtype(v): k for k, v in _DTYPES.items()}
+
+
+class SafetensorsFile:
+    """mmap-backed reader. Tensors are lazy views; ``keys()``/``get(name)``/``items()``."""
+
+    def __init__(self, path: str):
+        self.path = Path(path)
+        f = open(self.path, "rb")
+        self._mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+        f.close()
+        (header_len,) = np.frombuffer(self._mm[:8], dtype=np.uint64)
+        header = json.loads(self._mm[8 : 8 + int(header_len)].decode("utf-8"))
+        self.metadata = header.pop("__metadata__", {})
+        self._entries = header
+        self._data_start = 8 + int(header_len)
+
+    def keys(self):
+        return self._entries.keys()
+
+    def get(self, name: str) -> np.ndarray:
+        ent = self._entries[name]
+        dtype = _DTYPES[ent["dtype"]]
+        start, end = ent["data_offsets"]
+        buf = self._mm[self._data_start + start : self._data_start + end]
+        return np.frombuffer(buf, dtype=dtype).reshape(ent["shape"])
+
+    def items(self) -> Iterator[Tuple[str, np.ndarray]]:
+        for k in self.keys():
+            yield k, self.get(k)
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._entries
+
+
+def load_safetensors(path: str) -> Dict[str, np.ndarray]:
+    """Eagerly load every tensor (views over the mmap)."""
+    f = SafetensorsFile(path)
+    return dict(f.items())
+
+
+def save_safetensors(path: str, tensors: Dict[str, np.ndarray], metadata: Dict[str, str] | None = None) -> None:
+    """Write a safetensors file (used for prequantized checkpoint export)."""
+    header: Dict[str, object] = {}
+    if metadata:
+        header["__metadata__"] = {str(k): str(v) for k, v in metadata.items()}
+    offset = 0
+    blobs = []
+    for name, arr in tensors.items():
+        arr = np.ascontiguousarray(arr)
+        nbytes = arr.nbytes
+        header[name] = {
+            "dtype": _DTYPE_NAMES[arr.dtype],
+            "shape": list(arr.shape),
+            "data_offsets": [offset, offset + nbytes],
+        }
+        blobs.append(arr.tobytes())
+        offset += nbytes
+    hjson = json.dumps(header, separators=(",", ":")).encode("utf-8")
+    # pad header to 8-byte alignment (spec recommendation)
+    pad = (8 - (len(hjson) % 8)) % 8
+    hjson += b" " * pad
+    with open(path, "wb") as f:
+        f.write(np.uint64(len(hjson)).tobytes())
+        f.write(hjson)
+        for b in blobs:
+            f.write(b)

@@ -26,10 +26,12 @@ TINY_FLUX_PARAMS = FluxParams(
     guidance_embed=True,
 )
 
+# ch must stay a multiple of 32: the VAE's GroupNorm(32) matches the reference exactly
+# (autoencoder.py:28,62) and FLUX's real ch is 128.
 TINY_AE_PARAMS = AutoEncoderParams(
     resolution=64,
     in_channels=3,
-    ch=16,
+    ch=32,
     out_ch=3,
     ch_mult=[1, 2],
     num_res_blocks=1,

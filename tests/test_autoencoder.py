@@ -1,0 +1,70 @@
+"""VAE tests (tiny config): shapes, determinism, gaussian sampling, scale/shift."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flux_fp8_api_tpu.models.autoencoder import (
+    ae_decode,
+    ae_encode,
+    diagonal_gaussian_sample,
+    init_autoencoder_params,
+)
+
+from .helpers import TINY_AE_PARAMS
+
+
+class TestAutoencoder:
+    def setup_method(self):
+        self.cfg = TINY_AE_PARAMS
+        self.params = init_autoencoder_params(jax.random.PRNGKey(0), self.cfg)
+
+    def test_encode_shape(self):
+        # ch_mult [1,2] → one downsample → /2 spatial, z_channels latent
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, 32, 32, 3))
+        z = ae_encode(self.params, self.cfg, x)
+        assert z.shape == (1, 16, 16, self.cfg.z_channels)
+
+    def test_decode_shape(self):
+        z = jax.random.normal(jax.random.PRNGKey(2), (1, 16, 16, self.cfg.z_channels))
+        img = ae_decode(self.params, self.cfg, z)
+        assert img.shape == (1, 32, 32, 3)
+
+    def test_encode_deterministic_without_key(self):
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, 32, 32, 3))
+        z1 = ae_encode(self.params, self.cfg, x)
+        z2 = ae_encode(self.params, self.cfg, x)
+        np.testing.assert_array_equal(np.asarray(z1), np.asarray(z2))
+
+    def test_encode_sampling_uses_key(self):
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, 32, 32, 3))
+        z1 = ae_encode(self.params, self.cfg, x, key=jax.random.PRNGKey(1))
+        z2 = ae_encode(self.params, self.cfg, x, key=jax.random.PRNGKey(2))
+        assert float(jnp.max(jnp.abs(z1 - z2))) > 0
+
+    def test_scale_shift_inverse(self):
+        # encode applies scale*(z-shift); decode un-applies before the decoder.
+        # Verify on the DiagonalGaussian mean path with the raw formulas.
+        z = jnp.ones((1, 4, 4, self.cfg.z_channels)) * 0.7
+        scaled = self.cfg.scale_factor * (z - self.cfg.shift_factor)
+        unscaled = scaled / self.cfg.scale_factor + self.cfg.shift_factor
+        np.testing.assert_allclose(np.asarray(unscaled), 0.7, rtol=1e-6)
+
+    def test_diagonal_gaussian_mean_path(self):
+        z = jnp.concatenate(
+            [jnp.full((1, 2, 2, 4), 1.5), jnp.zeros((1, 2, 2, 4))], axis=-1
+        )
+        out = diagonal_gaussian_sample(z, key=None)
+        np.testing.assert_allclose(np.asarray(out), 1.5)
+
+    def test_jit_decode(self):
+        dec = jax.jit(lambda p, z: ae_decode(p, self.cfg, z))
+        z = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 8, self.cfg.z_channels))
+        img = dec(self.params, z)
+        assert img.shape == (1, 16, 16, 3)
+
+    def test_bf16_decode(self):
+        params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), self.params)
+        z = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 8, self.cfg.z_channels), jnp.bfloat16)
+        img = ae_decode(params, self.cfg, z)
+        assert img.dtype == jnp.bfloat16
