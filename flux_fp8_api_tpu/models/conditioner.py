@@ -1,0 +1,184 @@
+"""Text-encoder wrapper: tokenizer + JAX encoder + weight-only quant tier + offload.
+
+The TPU analog of the reference's ``HFEmbedder`` (modules/conditioner.py:38-117): wraps
+either the CLIP or T5 encoder with its tokenizer, resolves the quantization tier
+(conditioner.py:17-35's quanto/bnb table → our wo_* kinds), and implements the
+offload dance as explicit host↔device ``jax.device_put`` (reference ``offload()/cuda()``
+at conditioner.py:95-100).
+
+Checkpoints load from local HF-style directories (config.json + model.safetensors,
+optionally sharded via model.safetensors.index.json) — the image has no network egress,
+so `from_pretrained` takes paths, never hub ids.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.config import QuantizationDtype, into_dtype
+from ..utils.safetensors_io import SafetensorsFile
+from .clip import CLIPConfig, clip_encode, load_clip_checkpoint, quantize_clip_params
+from .t5 import T5Config, load_t5_checkpoint, quantize_t5_params, t5_encode
+
+
+def _hf_state_dict_getter(model_dir: Path) -> Callable[[str], np.ndarray]:
+    """Return sd_get(name) over a (possibly sharded) HF safetensors directory."""
+    index = model_dir / "model.safetensors.index.json"
+    if index.exists():
+        weight_map: Dict[str, str] = json.loads(index.read_text())["weight_map"]
+        files: Dict[str, SafetensorsFile] = {}
+
+        def get(name: str) -> np.ndarray:
+            fname = weight_map[name]
+            if fname not in files:
+                files[fname] = SafetensorsFile(str(model_dir / fname))
+            return files[fname].get(name)
+
+        return get
+    candidates = sorted(model_dir.glob("*.safetensors"))
+    if not candidates:
+        raise FileNotFoundError(f"no safetensors files in {model_dir}")
+    shards = [SafetensorsFile(str(c)) for c in candidates]
+
+    def get(name: str) -> np.ndarray:
+        for s in shards:
+            if name in s:
+                return s.get(name)
+        raise KeyError(name)
+
+    return get
+
+
+class TextEncoder:
+    """One text encoder (CLIP or T5) with its tokenizer.
+
+    kind="clip" → __call__ returns the pooled vector (reference output_key
+    "pooler_output", conditioner.py:87); kind="t5" → last_hidden_state.
+    """
+
+    def __init__(
+        self,
+        kind: str,
+        params: Dict[str, Any],
+        config,
+        tokenizer,
+        max_length: int,
+        dtype=jnp.bfloat16,
+        device: Optional[jax.Device] = None,
+        offload: bool = False,
+    ):
+        assert kind in ("clip", "t5")
+        self.kind = kind
+        self.config = config
+        self.tokenizer = tokenizer
+        self.max_length = max_length
+        self.dtype = jnp.dtype(dtype)
+        self.device = device
+        self.offload = offload
+        host = jax.devices("cpu")[0]
+        if offload:
+            self.params = jax.device_put(params, host)
+        elif device is not None:
+            self.params = jax.device_put(params, device)
+        else:
+            self.params = params
+        self._jit_encode = jax.jit(self._encode_ids_impl)
+
+    # ---------------------------------------------------------------- device moves
+    def to_device(self):
+        """Host → accelerator (reference HFEmbedder.cuda(), conditioner.py:98-100)."""
+        if self.device is not None:
+            self.params = jax.device_put(self.params, self.device)
+
+    def to_host(self):
+        """Accelerator → host (reference HFEmbedder.offload(), conditioner.py:95-97)."""
+        self.params = jax.device_put(self.params, jax.devices("cpu")[0])
+
+    # --------------------------------------------------------------------- encoding
+    def _encode_ids_impl(self, params, input_ids):
+        if self.kind == "clip":
+            _, pooled = clip_encode(params, self.config, input_ids, self.dtype)
+            return pooled
+        return t5_encode(params, self.config, input_ids, self.dtype)
+
+    def encode_ids(self, input_ids: jnp.ndarray) -> jnp.ndarray:
+        """(B, L) ids → pooled (clip) or last_hidden_state (t5)."""
+        return self._jit_encode(self.params, input_ids)
+
+    def __call__(self, texts: List[str]) -> jnp.ndarray:
+        """Tokenize (pad to max_length, no attention mask — reference
+        conditioner.py:102-117) and encode."""
+        batch = self.tokenizer(
+            texts,
+            truncation=True,
+            max_length=self.max_length,
+            padding="max_length",
+            return_tensors="np",
+        )
+        return self.encode_ids(jnp.asarray(batch.input_ids))
+
+    # ---------------------------------------------------------------------- loading
+    @classmethod
+    def from_pretrained(
+        cls,
+        kind: str,
+        model_path: str,
+        max_length: int,
+        dtype="bfloat16",
+        quantization_dtype: Optional[str] = None,
+        tokenizer_path: Optional[str] = None,
+        device: Optional[jax.Device] = None,
+        offload: bool = False,
+    ) -> "TextEncoder":
+        from transformers import AutoTokenizer
+
+        model_dir = Path(model_path)
+        hf_cfg = json.loads((model_dir / "config.json").read_text())
+        # T5 encoder repos sometimes nest the text config; CLIP ships CLIPTextConfig
+        # either top-level or under "text_config".
+        if "text_config" in hf_cfg:
+            hf_cfg = {**hf_cfg, **hf_cfg["text_config"]}
+        sd_get = _hf_state_dict_getter(model_dir)
+        jdtype = into_dtype(dtype)
+        if kind == "clip":
+            config = CLIPConfig.from_hf_config(hf_cfg)
+            params = load_clip_checkpoint(sd_get, config, jdtype)
+        else:
+            config = T5Config.from_hf_config(hf_cfg)
+            params = load_t5_checkpoint(sd_get, config, jdtype)
+        params = apply_quantization(kind, params, quantization_dtype)
+        tokenizer = AutoTokenizer.from_pretrained(tokenizer_path or model_path)
+        return cls(
+            kind,
+            params,
+            config,
+            tokenizer,
+            max_length=max_length,
+            dtype=jdtype,
+            device=device,
+            offload=offload,
+        )
+
+
+def apply_quantization(kind: str, params: Dict[str, Any], quantization_dtype) -> Dict[str, Any]:
+    """Map the reference's tier names onto the weight-only quantizers
+    (conditioner.py:17-35: qfloat8→quanto fp8, qint8→bnb int8, qint4→bnb nf4,
+    qint2→quanto int2)."""
+    if quantization_dtype is None:
+        return params
+    tier = str(
+        quantization_dtype.value
+        if isinstance(quantization_dtype, QuantizationDtype)
+        else quantization_dtype
+    )
+    if tier in ("bfloat16", "float16"):
+        return params
+    if kind == "clip":
+        return quantize_clip_params(params, tier)
+    return quantize_t5_params(params, tier)

@@ -158,8 +158,11 @@ def dequantize_kernel(lin: Linear) -> jnp.ndarray:
         return lin.kernel.astype(jnp.float32)
     if lin.kind == "fp8":
         return lin.q.astype(jnp.float32) * lin.w_scale_inv
-    if lin.kind == "int8":
+    if lin.kind in ("int8", "wo_fp8", "wo_int8"):
         return lin.q.astype(jnp.float32) * lin.w_scale_inv[None, :]
+    if lin.kind in ("wo_int4", "wo_int2"):
+        bits = 4 if lin.kind == "wo_int4" else 2
+        return _blockwise_dequantize(lin.q, lin.w_scale_inv, bits, jnp.float32)
     raise ValueError(f"unknown Linear kind {lin.kind}")
 
 
@@ -184,13 +187,99 @@ def with_kernel(lin: Linear, kernel: jnp.ndarray, bias: Optional[jnp.ndarray] = 
 def with_input_scale(lin: Linear, amax: jnp.ndarray) -> Linear:
     """Set the tuned input scale from a calibrated running amax
     (reference ``quantize_input`` freeze path, float8_quantize.py:238-246)."""
-    if lin.kind == "float":
-        return lin
     if lin.kind == "fp8":
         scale = amax_to_scale(jnp.asarray(amax), F8_INPUT_MAX)
-    else:
+    elif lin.kind == "int8":
         scale = int8_amax_to_scale(jnp.asarray(amax))
+    else:  # float and weight-only kinds don't quantize activations
+        return lin
     return dataclasses.replace(lin, in_scale=scale, in_scale_inv=1.0 / scale)
+
+
+# ----------------------------------------------------------- weight-only quantization
+#
+# TPU-native replacements for the reference's text-encoder quantization backends
+# (conditioner.py:17-35): quanto qfloat8 → "wo_fp8", bnb int8 → "wo_int8",
+# bnb nf4 → "wo_int4" (symmetric blockwise int4 — same memory tier; we trade nf4's
+# codebook for MXU-friendly symmetric levels), quanto qint2 → "wo_int2".
+# Weight-only = activations stay in compute dtype; dequantize happens at the matmul.
+
+WO_BLOCK = 64  # block size along in_features for int4/int2 blockwise scales
+
+
+def quantize_linear_wo_fp8(kernel: jnp.ndarray, bias) -> Linear:
+    """Per-out-channel e4m3 weight-only quantization."""
+    k32 = kernel.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(k32), axis=-2)  # (out,)
+    scale = amax_to_scale(amax, F8_WEIGHT_MAX)
+    q = jnp.clip(k32 * scale[None, :], -F8_WEIGHT_MAX, F8_WEIGHT_MAX).astype(WEIGHT_F8_DTYPE)
+    return Linear(q=q, w_scale=scale, w_scale_inv=1.0 / scale, bias=bias, kind="wo_fp8")
+
+
+def quantize_linear_wo_int8(kernel: jnp.ndarray, bias) -> Linear:
+    """Per-out-channel symmetric int8 weight-only quantization."""
+    k32 = kernel.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(k32), axis=-2)
+    scale = int8_amax_to_scale(amax)
+    q = jnp.round(jnp.clip(k32 * scale[None, :], -INT8_MAX, INT8_MAX)).astype(jnp.int8)
+    return Linear(q=q, w_scale=scale, w_scale_inv=1.0 / scale, bias=bias, kind="wo_int8")
+
+
+def _blockwise_quantize(kernel: jnp.ndarray, bits: int):
+    """(in, out) → packed uint8 + per-(block, out) fp32 reciprocal scales.
+
+    Block size is WO_BLOCK when it divides in_features, else the whole column (small
+    layers); dequant infers the block from the shapes.
+    """
+    in_f, out_f = kernel.shape
+    block = WO_BLOCK if in_f % WO_BLOCK == 0 else in_f
+    per_byte_req = 8 // bits
+    assert in_f % per_byte_req == 0, f"in_features {in_f} not packable at {bits} bits"
+    qmax = 2 ** (bits - 1) - 1  # 7 for int4, 1 for int2
+    k32 = kernel.astype(jnp.float32).reshape(in_f // block, block, out_f)
+    amax = jnp.max(jnp.abs(k32), axis=1)  # (nblocks, out)
+    scale = qmax / jnp.maximum(amax, 1e-12)
+    q = jnp.round(jnp.clip(k32 * scale[:, None, :], -qmax, qmax)).astype(jnp.int32)
+    q = (q + qmax).astype(jnp.uint8).reshape(in_f, out_f)  # offset-binary [0, 2^bits-2]
+    per_byte = 8 // bits
+    q = q.reshape(in_f // per_byte, per_byte, out_f)
+    packed = jnp.zeros((in_f // per_byte, out_f), jnp.uint8)
+    for j in range(per_byte):
+        packed = packed | (q[:, j, :] << jnp.uint8(j * bits))
+    return packed, (1.0 / scale)
+
+
+def _blockwise_dequantize(packed: jnp.ndarray, scale_inv: jnp.ndarray, bits: int, dtype):
+    per_byte = 8 // bits
+    qmax = 2 ** (bits - 1) - 1
+    mask = jnp.uint8(2**bits - 1)
+    in_packed, out_f = packed.shape
+    parts = [
+        ((packed >> jnp.uint8(j * bits)) & mask).astype(jnp.int32) - qmax
+        for j in range(per_byte)
+    ]
+    q = jnp.stack(parts, axis=1).reshape(in_packed * per_byte, out_f)
+    nblocks = scale_inv.shape[-2]
+    k32 = q.reshape(nblocks, -1, out_f).astype(jnp.float32) * scale_inv[..., :, None, :]
+    return k32.reshape(in_packed * per_byte, out_f).astype(dtype)
+
+
+def quantize_linear_wo_int4(kernel: jnp.ndarray, bias) -> Linear:
+    packed, scale_inv = _blockwise_quantize(kernel, 4)
+    return Linear(q=packed, w_scale_inv=scale_inv, bias=bias, kind="wo_int4")
+
+
+def quantize_linear_wo_int2(kernel: jnp.ndarray, bias) -> Linear:
+    packed, scale_inv = _blockwise_quantize(kernel, 2)
+    return Linear(q=packed, w_scale_inv=scale_inv, bias=bias, kind="wo_int2")
+
+
+WO_QUANTIZERS = {
+    "qfloat8": quantize_linear_wo_fp8,
+    "qint8": quantize_linear_wo_int8,
+    "qint4": quantize_linear_wo_int4,
+    "qint2": quantize_linear_wo_int2,
+}
 
 
 # ------------------------------------------------------------------------------ forward
@@ -250,6 +339,23 @@ def linear_apply(
             preferred_element_type=jnp.int32,
         )
         out = out.astype(jnp.float32) * (lin.in_scale_inv * lin.w_scale_inv)
+        if lin.bias is not None:
+            out = out + lin.bias.astype(jnp.float32)
+        return out.astype(compute_dtype), amax
+
+    if lin.kind in ("wo_fp8", "wo_int8"):
+        # weight-only: dequantize the kernel into the compute dtype, full-precision
+        # activations (reference quanto/bnb tiers for T5/CLIP, conditioner.py:17-35).
+        k = lin.q.astype(compute_dtype) * lin.w_scale_inv.astype(compute_dtype)[None, :]
+        out = jnp.dot(x.astype(compute_dtype), k, preferred_element_type=jnp.float32)
+        if lin.bias is not None:
+            out = out + lin.bias.astype(jnp.float32)
+        return out.astype(compute_dtype), amax
+
+    if lin.kind in ("wo_int4", "wo_int2"):
+        bits = 4 if lin.kind == "wo_int4" else 2
+        k = _blockwise_dequantize(lin.q, lin.w_scale_inv, bits, compute_dtype)
+        out = jnp.dot(x.astype(compute_dtype), k, preferred_element_type=jnp.float32)
         if lin.bias is not None:
             out = out + lin.bias.astype(jnp.float32)
         return out.astype(compute_dtype), amax

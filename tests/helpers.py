@@ -70,6 +70,83 @@ def tiny_flux(key=None, compute_dtype="bfloat16"):
     return cfg, params
 
 
+def toy_tokenizer(style: str = "clip", vocab_words=None):
+    """In-memory word-level tokenizer (no hub access in this image).
+
+    style="clip": BOS+EOS framing, like CLIPTokenizer.
+    style="t5": EOS-only framing, like T5Tokenizer.
+    """
+    from tokenizers import Tokenizer, models, pre_tokenizers
+    from tokenizers.processors import TemplateProcessing
+    from transformers import PreTrainedTokenizerFast
+
+    words = vocab_words or [
+        "a", "an", "the", "cat", "dog", "house", "hill", "on", "red", "blue",
+        "beautiful", "important", "word", "sun", "sky", "photo", "of", "test",
+        "image", "normal", "text", ".", ",",
+    ]
+    vocab = {"<pad>": 0, "<bos>": 1, "<eos>": 2, "<unk>": 3}
+    for w in words:
+        vocab[w] = len(vocab)
+    tok = Tokenizer(models.WordLevel(vocab, unk_token="<unk>"))
+    tok.pre_tokenizer = pre_tokenizers.Whitespace()
+    if style == "clip":
+        tok.post_processor = TemplateProcessing(
+            single="<bos> $A <eos>", special_tokens=[("<bos>", 1), ("<eos>", 2)]
+        )
+    else:
+        tok.post_processor = TemplateProcessing(
+            single="$A <eos>", special_tokens=[("<eos>", 2)]
+        )
+    fast = PreTrainedTokenizerFast(
+        tokenizer_object=tok,
+        bos_token="<bos>" if style == "clip" else None,
+        eos_token="<eos>",
+        unk_token="<unk>",
+        pad_token="<eos>",  # CLIP pads with eos; T5 uses <pad> but eos works for tests
+    )
+    fast.model_max_length = 77
+    return fast
+
+
+def tiny_text_encoders():
+    """Tiny CLIP+T5 TextEncoder pair with toy tokenizers for emphasis/pipeline tests."""
+    import jax
+
+    from flux_fp8_api_tpu.models.clip import CLIPConfig, init_clip_params
+    from flux_fp8_api_tpu.models.conditioner import TextEncoder
+    from flux_fp8_api_tpu.models.t5 import T5Config, init_t5_params
+
+    clip_cfg = CLIPConfig(
+        vocab_size=64,
+        hidden_size=TINY_FLUX_PARAMS.vec_in_dim,
+        intermediate_size=64,
+        num_layers=2,
+        num_heads=2,
+        max_position_embeddings=77,
+        eos_token_id=2,
+    )
+    t5_cfg = T5Config(
+        vocab_size=64, d_model=TINY_FLUX_PARAMS.context_in_dim, d_ff=96,
+        num_layers=2, num_heads=3, d_kv=16,
+    )
+    clip = TextEncoder(
+        "clip",
+        init_clip_params(jax.random.PRNGKey(10), clip_cfg),
+        clip_cfg,
+        toy_tokenizer("clip"),
+        max_length=77,
+    )
+    t5 = TextEncoder(
+        "t5",
+        init_t5_params(jax.random.PRNGKey(11), t5_cfg),
+        t5_cfg,
+        toy_tokenizer("t5"),
+        max_length=32,
+    )
+    return clip, t5
+
+
 def tiny_inputs(key=None, batch=1, h_latent=8, w_latent=8, txt_len=16):
     """Packed-latent inputs for the tiny flux (latent HxW → seq (h/2)(w/2))."""
     from flux_fp8_api_tpu.ops.packing import make_img_ids, make_txt_ids

@@ -1,0 +1,226 @@
+"""T5/CLIP encoder + emphasis parser tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flux_fp8_api_tpu import emphasis
+from flux_fp8_api_tpu.models.clip import CLIPConfig, clip_encode, init_clip_params, quantize_clip_params
+from flux_fp8_api_tpu.models.t5 import (
+    T5Config,
+    compute_position_bias,
+    init_t5_params,
+    quantize_t5_params,
+    relative_position_bucket,
+    t5_encode,
+)
+
+from .helpers import tiny_text_encoders, toy_tokenizer
+
+
+class TestParsePromptAttention:
+    """The reference's doctest examples (flux_emphasis.py:26-45) as real tests."""
+
+    def test_normal_text(self):
+        assert emphasis.parse_prompt_attention("normal text") == [["normal text", 1.0]]
+
+    def test_round_brackets(self):
+        assert emphasis.parse_prompt_attention("an (important) word") == [
+            ["an ", 1.0],
+            ["important", 1.1],
+            [" word", 1.0],
+        ]
+
+    def test_unbalanced(self):
+        assert emphasis.parse_prompt_attention("(unbalanced") == [["unbalanced", 1.1]]
+
+    def test_escapes(self):
+        assert emphasis.parse_prompt_attention("\\(literal\\]") == [["(literal]", 1.0]]
+
+    def test_adjacent_merge(self):
+        assert emphasis.parse_prompt_attention("(unnecessary)(parens)") == [
+            ["unnecessaryparens", 1.1]
+        ]
+
+    def test_complex(self):
+        got = emphasis.parse_prompt_attention(
+            "a (((house:1.3)) [on] a (hill:0.5), sun, (((sky)))."
+        )
+        expect = [
+            ["a ", 1.0],
+            ["house", 1.5730000000000004],
+            [" ", 1.1],
+            ["on", 1.0],
+            [" a ", 1.1],
+            ["hill", 0.55],
+            [", sun, ", 1.1],
+            ["sky", 1.4641000000000006],
+            [".", 1.1],
+        ]
+        assert len(got) == len(expect)
+        for (gt, gw), (et, ew) in zip(got, expect):
+            assert gt == et
+            assert gw == pytest.approx(ew)
+
+    def test_break(self):
+        got = emphasis.parse_prompt_attention("left BREAK right")
+        assert ["BREAK", -1] in got
+
+    def test_explicit_weight(self):
+        got = emphasis.parse_prompt_attention("(red:1.5) cat")
+        assert got[0] == ["red", 1.5]
+
+    def test_empty(self):
+        assert emphasis.parse_prompt_attention("") == [["", 1.0]]
+
+
+class TestGrouping:
+    def test_short_prompt_single_group(self):
+        ids, ws = emphasis.group_tokens_and_weights(
+            [5, 6, 7], [1.0, 1.5, 1.0], pad_last_block=False, bos=1, eos=2, max_length=77
+        )
+        assert ids == [[1, 5, 6, 7, 2]]
+        assert ws == [[1.0, 1.0, 1.5, 1.0, 1.0]]
+
+    def test_pad_last_block(self):
+        ids, ws = emphasis.group_tokens_and_weights(
+            [5], [2.0], pad_last_block=True, bos=1, eos=2, max_length=77
+        )
+        assert len(ids[0]) == 79  # bos + 77 padded + eos
+        assert ids[0][0] == 1 and ids[0][-1] == 2
+
+    def test_long_prompt_chunks(self):
+        toks = list(range(3, 160))
+        ids, _ = emphasis.group_tokens_and_weights(
+            toks, [1.0] * len(toks), bos=1, eos=2, max_length=77
+        )
+        assert len(ids) == 3  # 77+77+3 remainder
+        assert all(chunk[0] == 1 and chunk[-1] == 2 for chunk in ids[:2])
+
+    def test_t5_style_no_pad_tokens(self):
+        ids, ws = emphasis.group_tokens_and_weights(
+            [5, 6], [1.0, 1.0], bos=None, eos=2, max_length=512, pad_tokens=False
+        )
+        assert ids == [[5, 6]]
+
+
+class TestApplyWeights:
+    def test_weight_one_is_identity_up_to_standardize(self):
+        key = jax.random.PRNGKey(0)
+        emb = jax.random.normal(key, (1, 8, 16))
+        toks = jnp.array([[1, 5, 6, 2, 2, 2, 2, 2]])
+        out = emphasis.apply_weights(toks, jnp.ones(8), emb, eos_token_id=2)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(emb), atol=1e-5)
+
+    def test_weighting_moves_embedding(self):
+        key = jax.random.PRNGKey(0)
+        emb = jax.random.normal(key, (1, 8, 16))
+        toks = jnp.array([[1, 5, 6, 2, 2, 2, 2, 2]])
+        w = jnp.ones(8).at[1].set(2.0)
+        out = emphasis.apply_weights(toks, w, emb, eos_token_id=2)
+        # weighted position changed, at least one unweighted position (relative to
+        # standardization) differs from it
+        assert float(jnp.max(jnp.abs(out - emb))) > 1e-3
+
+
+class TestT5:
+    def setup_method(self):
+        self.cfg = T5Config(vocab_size=32, d_model=48, d_ff=96, num_layers=2, num_heads=3, d_kv=16)
+        self.params = init_t5_params(jax.random.PRNGKey(0), self.cfg)
+
+    def test_bucket_function_values(self):
+        # HF reference values: bucket(0)=0; positive (future) offsets by num_buckets/2
+        # hand-derived per HF's _relative_position_bucket (buckets=32→16, max_exact=8):
+        # n=16 → 8 + int(log(16/8)/log(128/8)·8) = 10; n=127 → 15 (cap region)
+        rp = jnp.array([[0, 1, -1, 2, -2, 16, -16, 127, -127]])
+        got = np.asarray(relative_position_bucket(rp))[0]
+        np.testing.assert_array_equal(got, [0, 17, 1, 18, 2, 26, 10, 31, 15])
+
+    def test_position_bias_shape(self):
+        bias = compute_position_bias(self.params["rel_bias"], 10, self.cfg)
+        assert bias.shape == (1, self.cfg.num_heads, 10, 10)
+
+    def test_encode_shape_and_determinism(self):
+        ids = jnp.array([[4, 5, 6, 2, 0, 0]])
+        out = t5_encode(self.params, self.cfg, ids)
+        assert out.shape == (1, 6, 48)
+        out2 = t5_encode(self.params, self.cfg, ids)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+
+    def test_quantized_tiers_close(self):
+        ids = jnp.array([[4, 5, 6, 2, 0, 0]])
+        ref = t5_encode(self.params, self.cfg, ids).astype(jnp.float32)
+        for tier, tol in (("qfloat8", 0.12), ("qint8", 0.08), ("qint4", 0.25)):
+            qp = quantize_t5_params(self.params, tier)
+            out = t5_encode(qp, self.cfg, ids).astype(jnp.float32)
+            rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+            assert rel < tol, f"{tier}: rel {rel}"
+
+
+class TestCLIP:
+    def setup_method(self):
+        self.cfg = CLIPConfig(
+            vocab_size=32, hidden_size=32, intermediate_size=64, num_layers=2,
+            num_heads=2, max_position_embeddings=16, eos_token_id=2,
+        )
+        self.params = init_clip_params(jax.random.PRNGKey(0), self.cfg)
+
+    def test_shapes(self):
+        ids = jnp.array([[1, 4, 5, 2, 2, 2]])
+        hidden, pooled = clip_encode(self.params, self.cfg, ids)
+        assert hidden.shape == (1, 6, 32)
+        assert pooled.shape == (1, 32)
+
+    def test_pooled_is_first_eos_hidden(self):
+        ids = jnp.array([[1, 4, 5, 2, 2, 2]])
+        hidden, pooled = clip_encode(self.params, self.cfg, ids)
+        np.testing.assert_array_equal(np.asarray(pooled[0]), np.asarray(hidden[0, 3]))
+
+    def test_causality(self):
+        # changing a later token must not affect earlier hidden states
+        ids1 = jnp.array([[1, 4, 5, 2, 0, 0]])
+        ids2 = jnp.array([[1, 4, 5, 2, 9, 9]])
+        h1, _ = clip_encode(self.params, self.cfg, ids1)
+        h2, _ = clip_encode(self.params, self.cfg, ids2)
+        np.testing.assert_allclose(np.asarray(h1[:, :4]), np.asarray(h2[:, :4]), atol=1e-5)
+
+    def test_quantized_close(self):
+        ids = jnp.array([[1, 4, 5, 2, 2, 2]])
+        _, ref = clip_encode(self.params, self.cfg, ids)
+        qp = quantize_clip_params(self.params, "qint8")
+        _, out = clip_encode(qp, self.cfg, ids)
+        rel = float(
+            jnp.linalg.norm((out - ref).astype(jnp.float32))
+            / jnp.linalg.norm(ref.astype(jnp.float32))
+        )
+        assert rel < 0.08
+
+
+class TestWeightedEmbeddings:
+    def test_end_to_end(self):
+        clip, t5 = tiny_text_encoders()
+        pooled, txt = emphasis.get_weighted_text_embeddings(
+            clip, t5, "a (important:1.4) photo of a cat", t5_length=32
+        )
+        assert pooled.shape == (1, 768 if clip.config.hidden_size == 768 else clip.config.hidden_size)
+        assert txt.shape == (1, 32, t5.config.d_model)
+        assert bool(jnp.all(jnp.isfinite(txt.astype(jnp.float32))))
+
+    def test_weights_change_embeddings(self):
+        clip, t5 = tiny_text_encoders()
+        _, txt_plain = emphasis.get_weighted_text_embeddings(
+            clip, t5, "a photo of a cat", t5_length=32
+        )
+        _, txt_weighted = emphasis.get_weighted_text_embeddings(
+            clip, t5, "a photo of a (cat:1.8)", t5_length=32
+        )
+        assert float(jnp.max(jnp.abs(txt_plain - txt_weighted))) > 1e-4
+
+    def test_num_images_repeat(self):
+        clip, t5 = tiny_text_encoders()
+        pooled, txt = emphasis.get_weighted_text_embeddings(
+            clip, t5, "a cat", num_images_per_prompt=3, t5_length=32
+        )
+        assert pooled.shape[0] == 3 and txt.shape[0] == 3
+        np.testing.assert_array_equal(np.asarray(pooled[0]), np.asarray(pooled[1]))
