@@ -1,0 +1,134 @@
+"""FastAPI server (reference ``api.py:1-123``): POST /generate → streaming JPEG,
+POST /lora → load/unload, plus TPU-stack extras (/health, /metrics).
+
+Same request schemas and error envelopes as the reference. A pipeline-level lock
+serializes /generate against /lora — the reference relies on implicitly-synchronous
+handlers for this (SURVEY.md §5 race note); we make the single-flight model explicit.
+"""
+
+from __future__ import annotations
+
+import platform
+import threading
+import time
+from typing import Any, Optional
+
+import numpy as np
+from fastapi import FastAPI, HTTPException
+from fastapi.responses import JSONResponse, StreamingResponse
+from pydantic import BaseModel, Field
+
+app = FastAPI()
+
+if platform.system() == "Windows":  # reference api.py:12-15
+    MAX_RAND = 2**16 - 1
+else:
+    MAX_RAND = 2**32 - 1
+
+_PIPELINE_LOCK = threading.Lock()
+_METRICS = {"requests": 0, "images": 0, "total_seconds": 0.0, "last_seconds": None}
+
+
+class GenerateArgs(BaseModel):
+    """reference api.py:38-48."""
+
+    prompt: str
+    width: Optional[int] = Field(default=720)
+    height: Optional[int] = Field(default=1024)
+    num_steps: Optional[int] = Field(default=24)
+    guidance: Optional[float] = Field(default=3.5)
+    seed: Optional[int] = Field(
+        default_factory=lambda: np.random.randint(0, MAX_RAND), gt=0, lt=MAX_RAND
+    )
+    strength: Optional[float] = 1.0
+    init_image: Optional[str] = None
+
+
+class LoraArgs(BaseModel):
+    """reference api.py:27-31."""
+
+    scale: Optional[float] = 1.0
+    path: Optional[str] = None
+    name: Optional[str] = None
+    action: Optional[str] = "load"  # "load" | "unload"
+
+
+class LoraLoadResponse(BaseModel):
+    status: str
+    message: str
+
+
+@app.post("/generate")
+def generate(args: GenerateArgs):
+    """Generate an image from the prompt (reference api.py:54-86)."""
+    t0 = time.perf_counter()
+    with _PIPELINE_LOCK:
+        result = app.state.model.generate(**args.model_dump())
+    dt = time.perf_counter() - t0
+    _METRICS["requests"] += 1
+    _METRICS["images"] += 1
+    _METRICS["total_seconds"] += dt
+    _METRICS["last_seconds"] = dt
+    return StreamingResponse(result, media_type="image/jpeg")
+
+
+@app.post("/lora", response_model=LoraLoadResponse)
+def lora_action(args: LoraArgs):
+    """Load or unload a LoRA (reference api.py:89-122): same 400/500 envelopes."""
+    try:
+        if args.action == "load":
+            if not args.path:
+                raise HTTPException(status_code=400, detail="Lora path is required")
+            with _PIPELINE_LOCK:
+                app.state.model.load_lora(
+                    lora_path=args.path, scale=args.scale, name=args.name
+                )
+            return JSONResponse(
+                content={
+                    "status": "success",
+                    "message": f"LoRA {args.path} loaded successfully",
+                },
+                status_code=200,
+            )
+        elif args.action == "unload":
+            ident = args.name or args.path
+            if not ident:
+                raise HTTPException(
+                    status_code=400, detail="Lora path or name is required"
+                )
+            with _PIPELINE_LOCK:
+                app.state.model.unload_lora(ident)
+            return JSONResponse(
+                content={
+                    "status": "success",
+                    "message": f"LoRA {ident} unloaded successfully",
+                },
+                status_code=200,
+            )
+        raise HTTPException(status_code=400, detail=f"Invalid action {args.action}")
+    except HTTPException:
+        raise
+    except Exception as e:  # reference api.py:105-121
+        return JSONResponse(
+            content={"status": "error", "message": str(e)}, status_code=500
+        )
+
+
+@app.get("/health")
+def health() -> dict:
+    """TPU extra: liveness + model identity."""
+    model = getattr(app.state, "model", None)
+    return {
+        "status": "ok" if model is not None else "loading",
+        "model": getattr(model, "name", None),
+        "loras": [l.name for l in getattr(model, "loras", [])],
+    }
+
+
+@app.get("/metrics")
+def metrics() -> dict:
+    """TPU extra: request counters and latency (denoise it/s lives in logs)."""
+    out = dict(_METRICS)
+    if _METRICS["requests"]:
+        out["avg_seconds"] = _METRICS["total_seconds"] / _METRICS["requests"]
+    return out

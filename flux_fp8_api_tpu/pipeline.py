@@ -1,0 +1,440 @@
+"""FluxPipeline: the public orchestration API (reference ``flux_pipeline.py:58-729``).
+
+Same public surface as the reference — ``load_pipeline_from_config_path`` /
+``load_pipeline_from_config`` / ``generate`` / ``load_lora`` / ``unload_lora`` /
+``compile`` — rebuilt around pure-functional JAX:
+
+- the denoise loop is a jitted whole-model Euler step (or one fused ``lax.scan`` over
+  all steps), compiled per (batch, resolution, steps) bucket — replacing per-block
+  ``torch.compile`` (flux_pipeline.py:224-231);
+- fp8/int8 input-scale calibration happens functionally on the first quantized forwards
+  (running-max amax trials, float8_quantize.py:220-246) and freezes after
+  ``num_scale_trials`` steps, exactly mirroring the reference's warmup protocol
+  (flux_pipeline.py:191-212); prequantized checkpoints skip it;
+- CUDA offload configs map to host↔device ``jax.device_put`` of whole param trees;
+- seeds: ``jax.random`` threefry keys. Deterministic seed→image within this framework;
+  bit-level noise differs from torch CUDA RNG by construction (documented divergence).
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import math
+from typing import Any, Dict, List, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from .calibration import apply_input_scales, merge_amax
+from .emphasis import get_weighted_text_embeddings
+from .image_encoder import ImageEncoder
+from .models.autoencoder import ae_decode, ae_encode
+from .models.flux import FluxStatic
+from .ops.packing import make_img_ids, make_txt_ids, pack_latents, unpack_latents
+from .ops.schedule import get_schedule
+from .sampling import denoise, make_denoise_step
+from .utils.config import ModelSpec, ModelVersion, into_device, into_dtype, load_config_from_path
+from .utils.loader import load_models_from_config
+
+MAX_RAND = 2**32 - 1
+
+
+class FluxPipeline:
+    """Image-generation pipeline: input prep, schedule, noise, denoise loop, device
+    management, calibration, LoRA hot-load."""
+
+    def __init__(
+        self,
+        name: str,
+        clip=None,
+        t5=None,
+        model: Optional[Dict[str, Any]] = None,
+        model_cfg: Optional[FluxStatic] = None,
+        ae: Optional[Dict[str, Any]] = None,
+        config: Optional[ModelSpec] = None,
+        prequantized: bool = False,
+        verbose: bool = False,
+        debug: bool = False,
+    ):
+        if config is None:
+            raise ValueError("ModelSpec config is required!")
+        self.name = name
+        self.config = config
+        self.debug = debug
+        self.verbose = verbose
+
+        self.device_flux = into_device(config.flux_device)
+        self.device_ae = into_device(config.ae_device)
+        self.device_clip = into_device(config.text_enc_device)
+        self.device_t5 = into_device(config.text_enc_device)
+        self.dtype = into_dtype(config.flow_dtype)
+        self.ae_dtype = into_dtype(config.ae_dtype)
+
+        self.clip = clip
+        self.t5 = t5
+        self.model_cfg = model_cfg
+        self.ae_params = ae
+        self.img_encoder = ImageEncoder()
+
+        self.offload_text_encoder = config.offload_text_encoder
+        self.offload_vae = config.offload_vae
+        self.offload_flow = config.offload_flow
+
+        self._host = jax.devices("cpu")[0]
+        self.model_params = jax.device_put(
+            model, self._host if self.offload_flow else self.device_flux
+        )
+        self.ae_params = jax.device_put(
+            ae, self._host if self.offload_vae else self.device_ae
+        )
+
+        # fp8/int8 input-scale calibration state (reference num_scale_trials=12,
+        # float8_quantize.py:42): counts quantized forward passes until freeze.
+        self._needs_calibration = (not prequantized) and self._is_quantized()
+        self._amax_running = None
+        self._trials_done = 0
+
+        self.loras: List = []  # LoraWeights registry (reference flux_model.py:518)
+
+        self._rng = np.random.default_rng()
+        self._jit_ae_decode = jax.jit(
+            lambda p, z: ae_decode(p, self.config.ae_params, z)
+        )
+        self._jit_ae_encode = jax.jit(
+            lambda p, x, key: ae_encode(p, self.config.ae_params, x, key)
+        )
+
+        if config.compile_blocks or config.compile_extras:
+            self.compile()
+
+    # ------------------------------------------------------------------------- state
+
+    def _is_quantized(self) -> bool:
+        from .ops.quant import Linear
+
+        def walk(tree) -> bool:
+            if isinstance(tree, Linear):
+                return tree.kind in ("fp8", "int8")
+            if isinstance(tree, dict):
+                return any(walk(v) for v in tree.values())
+            if isinstance(tree, (list, tuple)):
+                return any(walk(v) for v in tree)
+            return False
+
+        return walk(self.model_params)
+
+    # -------------------------------------------------------------------------- seeds
+
+    def set_seed(self, seed: Optional[Union[int, str]] = None):
+        """Resolve a user seed (int/str/None) → (jax PRNG key, int seed)
+        (reference flux_pipeline.py:126-149)."""
+        if isinstance(seed, (int, float)):
+            seed = int(abs(seed)) % MAX_RAND
+        elif isinstance(seed, str):
+            try:
+                seed = abs(int(seed)) % MAX_RAND
+            except Exception:
+                seed = int(self._rng.integers(0, MAX_RAND))
+        else:
+            seed = int(self._rng.integers(0, MAX_RAND))
+        return jax.random.PRNGKey(seed), seed
+
+    # ---------------------------------------------------------------------- noise/prep
+
+    def get_noise(self, num_samples: int, height: int, width: int, key) -> jnp.ndarray:
+        """(B, C, 2·⌈h/16⌉, 2·⌈w/16⌉) gaussian latents (flux_pipeline.py:346-371).
+
+        The reference hardcodes C=16 (FLUX VAE latents); we derive it from
+        params.in_channels/4 so scaled-down test configs work."""
+        shape = (
+            num_samples,
+            self.config.params.in_channels // 4,
+            2 * math.ceil(height / 16),
+            2 * math.ceil(width / 16),
+        )
+        return jax.random.normal(key, shape, jnp.float32).astype(self.dtype)
+
+    def load_init_image_if_needed(self, init_image):
+        """str (path or b64) / PIL / ndarray → (H, W, 3) uint8 (flux_pipeline.py:399-420)."""
+        if init_image is None:
+            return None
+        if isinstance(init_image, str):
+            try:
+                init_image = Image.open(init_image)
+            except Exception:
+                init_image = Image.open(
+                    io.BytesIO(base64.b64decode(init_image.split(",")[-1]))
+                )
+        if isinstance(init_image, Image.Image):
+            init_image = np.array(init_image.convert("RGB"))
+        return np.asarray(init_image).astype(np.uint8)
+
+    def resize_center_crop(self, img: np.ndarray, height: int, width: int) -> np.ndarray:
+        """Resize shorter side to min(width, height), center crop to (height, width)
+        (reference flux_pipeline.py:450-457 via torchvision)."""
+        im = Image.fromarray(img)
+        target_short = min(width, height)
+        w0, h0 = im.size
+        scale = target_short / min(w0, h0)
+        im = im.resize((round(w0 * scale), round(h0 * scale)), Image.BILINEAR)
+        w1, h1 = im.size
+        left = (w1 - width) // 2
+        top = (h1 - height) // 2
+        im = im.crop((left, top, left + width, top + height))
+        return np.array(im)
+
+    def preprocess_latent(
+        self,
+        init_image: Optional[np.ndarray],
+        height: int,
+        width: int,
+        num_steps: int,
+        strength: float,
+        key,
+        num_images: int,
+    ):
+        """Noise + schedule (+ img2img VAE-encode and noise injection)
+        (reference flux_pipeline.py:459-523)."""
+        key_noise, key_ae = jax.random.split(key)
+        x = self.get_noise(num_images, height, width, key_noise)
+        timesteps = get_schedule(
+            num_steps=num_steps,
+            image_seq_len=x.shape[-1] * x.shape[-2] // 4,
+            shift=(self.name != ModelVersion.flux_schnell.value),
+        )
+        if init_image is not None:
+            arr = self.resize_center_crop(init_image, height, width)
+            nhwc = (arr.astype(np.float32) / 127.5 - 1.0)[None]
+            if self.offload_vae:
+                self.ae_params = jax.device_put(self.ae_params, self.device_ae)
+            z = self._jit_ae_encode(
+                self.ae_params, jnp.asarray(nhwc, self.ae_dtype), key_ae
+            )  # (1, h, w, 16)
+            if self.offload_vae:
+                self.ae_params = jax.device_put(self.ae_params, self._host)
+            z = jnp.transpose(z, (0, 3, 1, 2)).astype(self.dtype)  # NCHW latents
+            z = jnp.repeat(z, num_images, axis=0)
+            t_idx = int((1 - strength) * num_steps)
+            t = timesteps[t_idx]
+            timesteps = timesteps[t_idx:]
+            x = t * x + (1.0 - t) * z
+        return x, timesteps
+
+    def prepare(self, img: jnp.ndarray, prompt: Union[str, List[str]]):
+        """Pack latents, build id grids, embed text (reference flux_pipeline.py:233-312)."""
+        bs, c, h, w = img.shape
+        if bs == 1 and not isinstance(prompt, str):
+            bs = len(prompt)
+        packed = pack_latents(img)
+        if packed.shape[0] == 1 and bs > 1:
+            packed = jnp.repeat(packed, bs, axis=0)
+        img_ids = make_img_ids(h, w, bs)
+
+        if self.offload_text_encoder:
+            self.clip.to_device()
+            self.t5.to_device()
+        prompt_str = prompt if isinstance(prompt, str) else prompt[0]
+        vec, txt = get_weighted_text_embeddings(
+            self.clip,
+            self.t5,
+            prompt_str,
+            num_images_per_prompt=bs,
+            t5_length=self.config.text_enc_max_length,
+        )
+        if self.offload_text_encoder:
+            self.clip.to_host()
+            self.t5.to_host()
+        txt_ids = make_txt_ids(txt.shape[1], bs)
+        vec = jax.device_put(vec.astype(self.dtype), self.device_flux)
+        txt = jax.device_put(txt.astype(self.dtype), self.device_flux)
+        return packed, img_ids, vec, txt, txt_ids
+
+    # -------------------------------------------------------------------- calibration
+
+    def _calibration_denoise(self, img, img_ids, txt, txt_ids, vec, timesteps, guidance, silent):
+        """Per-step loop that accumulates amax trials and freezes input scales after
+        num_scale_trials steps (the reference's warmup protocol, float8_quantize.py:220-246
+        + flux_pipeline.py:191-212)."""
+        step_collect = make_denoise_step(self.model_cfg, collect_amax=True)
+        step_plain = make_denoise_step(self.model_cfg)
+        iterator = list(zip(timesteps[:-1], timesteps[1:]))
+        if not silent:
+            from tqdm import tqdm
+
+            iterator = tqdm(iterator, desc="denoise(calibrating)")
+        for t_curr, t_prev in iterator:
+            if self._trials_done < self.config.num_scale_trials:
+                img, amaxes = step_collect(
+                    self.model_params, img, img_ids, txt, txt_ids, vec, t_curr, t_prev, guidance
+                )
+                self._amax_running = merge_amax(self._amax_running, amaxes)
+                self.model_params = apply_input_scales(self.model_params, self._amax_running)
+                self._trials_done += 1
+                if self._trials_done >= self.config.num_scale_trials:
+                    self._needs_calibration = False
+            else:
+                img = step_plain(
+                    self.model_params, img, img_ids, txt, txt_ids, vec, t_curr, t_prev, guidance
+                )
+        return img
+
+    # ----------------------------------------------------------------------- generate
+
+    def generate(
+        self,
+        prompt: str,
+        width: int = 720,
+        height: int = 1024,
+        num_steps: int = 24,
+        guidance: float = 3.5,
+        seed: Optional[Union[int, str]] = None,
+        init_image=None,
+        strength: float = 1.0,
+        silent: bool = False,
+        num_images: int = 1,
+        return_seed: bool = False,
+        jpeg_quality: int = 99,
+    ) -> io.BytesIO:
+        """Generate image(s); returns JPEG bytes (reference flux_pipeline.py:525-663)."""
+        num_steps = 4 if self.name == ModelVersion.flux_schnell.value else num_steps
+        init_image = self.load_init_image_if_needed(init_image)
+        height = 16 * (height // 16)
+        width = 16 * (width // 16)
+        key, seed = self.set_seed(seed)
+
+        img, timesteps = self.preprocess_latent(
+            init_image=init_image,
+            height=height,
+            width=width,
+            num_steps=num_steps,
+            strength=strength,
+            key=key,
+            num_images=num_images,
+        )
+        img, img_ids, vec, txt, txt_ids = self.prepare(img, prompt)
+        img = jax.device_put(img, self.device_flux)
+
+        if self.offload_flow:
+            self.model_params = jax.device_put(self.model_params, self.device_flux)
+
+        if self._needs_calibration:
+            img = self._calibration_denoise(
+                img, img_ids, txt, txt_ids, vec, timesteps, guidance, silent
+            )
+        else:
+            img = denoise(
+                self.model_params,
+                self.model_cfg,
+                img,
+                img_ids,
+                txt,
+                txt_ids,
+                vec,
+                timesteps,
+                guidance,
+                fused=True,
+                progress=not silent,
+            )
+
+        if self.offload_flow:
+            self.model_params = jax.device_put(self.model_params, self._host)
+
+        pixels = self.vae_decode(img, height, width)
+        out = self.into_bytes(pixels, jpeg_quality=jpeg_quality)
+        if return_seed:
+            return out, seed
+        return out
+
+    def vae_decode(self, latents: jnp.ndarray, height: int, width: int) -> np.ndarray:
+        """Packed latents → (B, H, W, 3) float pixels in [-1, 1]
+        (reference flux_pipeline.py:422-448)."""
+        if self.offload_vae:
+            self.ae_params = jax.device_put(self.ae_params, self.device_ae)
+        x = unpack_latents(latents.astype(jnp.float32), height, width)  # (B,16,h,w)
+        x = jnp.transpose(x, (0, 2, 3, 1)).astype(self.ae_dtype)  # NHWC
+        x = jax.device_put(x, self.device_ae)
+        pixels = self._jit_ae_decode(self.ae_params, x)
+        if self.offload_vae:
+            self.ae_params = jax.device_put(self.ae_params, self._host)
+        return np.asarray(pixels.astype(jnp.float32))
+
+    def into_bytes(self, pixels: np.ndarray, jpeg_quality: int = 99) -> io.BytesIO:
+        return self.img_encoder.encode_array(pixels, quality=jpeg_quality)
+
+    # -------------------------------------------------------------------------- LoRA
+
+    def load_lora(self, lora_path, scale: float, name: Optional[str] = None):
+        """Fuse a LoRA into the flow weights (reference flux_pipeline.py:151-168)."""
+        from . import lora as lora_mod
+
+        self.model_params, self.loras = lora_mod.pipeline_load_lora(
+            self.model_params, self.model_cfg, self.loras, lora_path, scale, name
+        )
+
+    def unload_lora(self, path_or_identifier: str):
+        """Unfuse a previously loaded LoRA (reference flux_pipeline.py:170-177)."""
+        from . import lora as lora_mod
+
+        self.model_params, self.loras = lora_mod.pipeline_unload_lora(
+            self.model_params, self.model_cfg, self.loras, path_or_identifier
+        )
+
+    # ------------------------------------------------------------------------ compile
+
+    def compile(self):
+        """Warmup + calibration + AOT compile (reference flux_pipeline.py:179-231).
+
+        Runs the reference's warmup recipe — 768×768, 12 steps (dev) or 3×4 steps
+        (schnell) — which (a) drives the amax trials to freeze fp8 input scales and
+        (b) populates the jit cache for the fused denoise kernel.
+        """
+        if self._needs_calibration:
+            warmup = dict(
+                prompt="A beautiful test image used to solidify the fp8 input scales prior to compilation",
+                height=768,
+                width=768,
+                num_steps=12,
+                guidance=3.5,
+                seed=10,
+                silent=True,
+            )
+            if self.name == ModelVersion.flux_schnell.value:
+                warmup["num_steps"] = 4
+                for _ in range(3):
+                    self.generate(**warmup)
+            else:
+                self.generate(**warmup)
+
+    # ------------------------------------------------------------------------ loaders
+
+    @classmethod
+    def load_pipeline_from_config_path(
+        cls, path: str, flow_model_path: Optional[str] = None, debug: bool = False, **kwargs
+    ) -> "FluxPipeline":
+        """reference flux_pipeline.py:665-679 (kwargs override config fields)."""
+        config = load_config_from_path(path)
+        if flow_model_path:
+            config.ckpt_path = flow_model_path
+        for k, v in kwargs.items():
+            if hasattr(config, k):
+                setattr(config, k, v)
+        return cls.load_pipeline_from_config(config, debug=debug)
+
+    @classmethod
+    def load_pipeline_from_config(cls, config: ModelSpec, debug: bool = False) -> "FluxPipeline":
+        """reference flux_pipeline.py:681-729."""
+        models = load_models_from_config(config)
+        return cls(
+            name=str(config.version.value if hasattr(config.version, "value") else config.version),
+            clip=models.clip,
+            t5=models.t5,
+            model=models.flow,
+            model_cfg=models.flow_cfg,
+            ae=models.ae,
+            config=config,
+            prequantized=models.flow_prequantized,
+            debug=debug,
+        )

@@ -1,0 +1,204 @@
+"""Model-bundle construction from a ModelSpec (reference ``util.py:82-95,225-333``).
+
+Builds the flow transformer / VAE / CLIP / T5 from checkpoint paths when present, or
+random-init when absent (benchmarks and tests run without FLUX weights — the image has
+no network egress). Applies the quantization tiers from the spec.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..models.autoencoder import init_autoencoder_params
+from ..models.clip import CLIPConfig, init_clip_params
+from ..models.conditioner import TextEncoder, apply_quantization
+from ..models.flux import FluxStatic, init_flux_params, quantize_flux_tree
+from ..models.t5 import T5Config, init_t5_params
+from ..utils.checkpoint import (
+    is_prequantized_reference_file,
+    load_ae_checkpoint,
+    load_flux_checkpoint,
+    load_prequantized,
+)
+from ..utils.config import ModelSpec, QuantizationDtype, into_device, into_dtype
+from ..utils.safetensors_io import SafetensorsFile
+
+FLOW_QUANT_KINDS = {
+    QuantizationDtype.qfloat8.value: "fp8",
+    QuantizationDtype.qint8.value: "int8",
+}
+
+
+@dataclasses.dataclass
+class LoadedModels:
+    """reference LoadedModels (util.py:298-308)."""
+
+    flow: Dict[str, Any]
+    flow_cfg: FluxStatic
+    flow_prequantized: bool
+    ae: Dict[str, Any]
+    clip: TextEncoder
+    t5: TextEncoder
+    config: ModelSpec
+
+
+def flow_quant_kind(config: ModelSpec) -> Optional[str]:
+    tier = config.flow_quantization_dtype
+    if tier is None:
+        return None
+    return FLOW_QUANT_KINDS.get(str(tier.value if hasattr(tier, "value") else tier))
+
+
+def load_flow_model(config: ModelSpec, use_pallas: Optional[bool] = None):
+    """→ (params, FluxStatic, prequantized: bool). Mirrors util.py:240-256 plus the
+    quantize-on-load step (float8_quantize.py:395-496) as a tree partition."""
+    cfg = FluxStatic.from_params(
+        config.params,
+        compute_dtype=config.flow_dtype,
+        use_pallas=config.use_pallas if use_pallas is None else use_pallas,
+    )
+    kind = flow_quant_kind(config)
+    if config.ckpt_path:
+        f = SafetensorsFile(config.ckpt_path)
+        if f.metadata.get("format") == "flux-fp8-api-tpu/prequant-v1":
+            return load_prequantized(config.ckpt_path, cfg), cfg, True
+        prequant_ref = is_prequantized_reference_file(config.ckpt_path)
+        params = load_flux_checkpoint(config.ckpt_path, cfg)
+        if prequant_ref:
+            # reference-style prequantized: fp8 leaves already built by the loader;
+            # input scales may or may not ship — treat as prequantized either way
+            # (float8_quantize.py:139-153)
+            return params, cfg, True
+    else:
+        params = init_flux_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
+    if not config.prequantized_flow and kind is not None:
+        params = quantize_flux_tree(
+            params,
+            quantize_modulation=config.quantize_modulation,
+            quantize_flow_embedder_layers=config.quantize_flow_embedder_layers,
+            kind=kind,
+        )
+    return params, cfg, False
+
+
+def load_autoencoder(config: ModelSpec):
+    dtype = into_dtype(config.ae_dtype)
+    if config.ae_path:
+        return load_ae_checkpoint(config.ae_path, config.ae_params, dtype)
+    params = init_autoencoder_params(jax.random.PRNGKey(1), config.ae_params, dtype)
+    return params
+
+
+def load_text_encoders(config: ModelSpec):
+    """→ (clip, t5) TextEncoders (reference util.py:259-275)."""
+    dtype = config.text_enc_dtype
+    device = into_device(config.text_enc_device)
+    offload = config.offload_text_encoder
+    if config.clip_path and not str(config.clip_path).startswith("openai/"):
+        clip = TextEncoder.from_pretrained(
+            "clip",
+            config.clip_path,
+            max_length=77,
+            dtype=dtype,
+            quantization_dtype=config.clip_quantization_dtype,
+            tokenizer_path=config.clip_tokenizer_path,
+            device=device,
+            offload=offload,
+        )
+    else:
+        clip = _random_clip(config, device, offload)
+    if config.text_enc_path:
+        t5 = TextEncoder.from_pretrained(
+            "t5",
+            config.text_enc_path,
+            max_length=config.text_enc_max_length,
+            dtype=dtype,
+            quantization_dtype=config.text_enc_quantization_dtype,
+            tokenizer_path=config.t5_tokenizer_path,
+            device=device,
+            offload=offload,
+        )
+    else:
+        t5 = _random_t5(config, device, offload)
+    return clip, t5
+
+
+def _toy_tokenizer(style: str):
+    """Hub-free fallback tokenizer for random-init runs (tests/benches)."""
+    from tokenizers import Tokenizer, models, pre_tokenizers
+    from tokenizers.processors import TemplateProcessing
+    from transformers import PreTrainedTokenizerFast
+
+    vocab = {"<pad>": 0, "<bos>": 1, "<eos>": 2, "<unk>": 3}
+    for i in range(4, 256):
+        vocab[f"tok{i}"] = i
+    for w in "a an the of on in photo image test beautiful cat dog house hill sun sky red blue".split():
+        vocab.setdefault(w, len(vocab))
+    tok = Tokenizer(models.WordLevel(vocab, unk_token="<unk>"))
+    tok.pre_tokenizer = pre_tokenizers.Whitespace()
+    if style == "clip":
+        tok.post_processor = TemplateProcessing(
+            single="<bos> $A <eos>", special_tokens=[("<bos>", 1), ("<eos>", 2)]
+        )
+    else:
+        tok.post_processor = TemplateProcessing(single="$A <eos>", special_tokens=[("<eos>", 2)])
+    fast = PreTrainedTokenizerFast(
+        tokenizer_object=tok,
+        bos_token="<bos>" if style == "clip" else None,
+        eos_token="<eos>",
+        unk_token="<unk>",
+        pad_token="<eos>" if style == "clip" else "<pad>",
+    )
+    fast.model_max_length = 77
+    return fast
+
+
+def _random_clip(config: ModelSpec, device, offload):
+    cfg = CLIPConfig(
+        vocab_size=512,
+        hidden_size=config.params.vec_in_dim,
+        intermediate_size=4 * config.params.vec_in_dim,
+        num_layers=2,
+        num_heads=8,
+        eos_token_id=2,
+    )
+    params = apply_quantization(
+        "clip", init_clip_params(jax.random.PRNGKey(2), cfg, jnp.bfloat16), config.clip_quantization_dtype
+    )
+    return TextEncoder("clip", params, cfg, _toy_tokenizer("clip"), max_length=77,
+                       dtype=into_dtype(config.text_enc_dtype), device=device, offload=offload)
+
+
+def _random_t5(config: ModelSpec, device, offload):
+    cfg = T5Config(
+        vocab_size=512,
+        d_model=config.params.context_in_dim,
+        d_ff=2 * config.params.context_in_dim,
+        num_layers=2,
+        num_heads=8,
+        d_kv=config.params.context_in_dim // 8,
+    )
+    params = apply_quantization(
+        "t5", init_t5_params(jax.random.PRNGKey(3), cfg, jnp.bfloat16), config.text_enc_quantization_dtype
+    )
+    return TextEncoder("t5", params, cfg, _toy_tokenizer("t5"), max_length=config.text_enc_max_length,
+                       dtype=into_dtype(config.text_enc_dtype), device=device, offload=offload)
+
+
+def load_models_from_config(config: ModelSpec) -> LoadedModels:
+    """reference util.py:325-333."""
+    clip, t5 = load_text_encoders(config)
+    flow, flow_cfg, prequant = load_flow_model(config)
+    return LoadedModels(
+        flow=flow,
+        flow_cfg=flow_cfg,
+        flow_prequantized=prequant or config.prequantized_flow,
+        ae=load_autoencoder(config),
+        clip=clip,
+        t5=t5,
+        config=config,
+    )

@@ -27,13 +27,14 @@ TINY_FLUX_PARAMS = FluxParams(
 )
 
 # ch must stay a multiple of 32: the VAE's GroupNorm(32) matches the reference exactly
-# (autoencoder.py:28,62) and FLUX's real ch is 128.
+# (autoencoder.py:28,62) and FLUX's real ch is 128. Four levels keep the real VAE's
+# ×8 spatial factor, which the pipeline's latent geometry assumes.
 TINY_AE_PARAMS = AutoEncoderParams(
     resolution=64,
     in_channels=3,
     ch=32,
     out_ch=3,
-    ch_mult=[1, 2],
+    ch_mult=[1, 1, 2, 2],
     num_res_blocks=1,
     z_channels=4,
     scale_factor=0.3611,

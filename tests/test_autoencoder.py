@@ -20,13 +20,13 @@ class TestAutoencoder:
         self.params = init_autoencoder_params(jax.random.PRNGKey(0), self.cfg)
 
     def test_encode_shape(self):
-        # ch_mult [1,2] → one downsample → /2 spatial, z_channels latent
+        # ch_mult [1,1,2,2] → three downsamples → /8 spatial, z_channels latent
         x = jax.random.normal(jax.random.PRNGKey(1), (1, 32, 32, 3))
         z = ae_encode(self.params, self.cfg, x)
-        assert z.shape == (1, 16, 16, self.cfg.z_channels)
+        assert z.shape == (1, 4, 4, self.cfg.z_channels)
 
     def test_decode_shape(self):
-        z = jax.random.normal(jax.random.PRNGKey(2), (1, 16, 16, self.cfg.z_channels))
+        z = jax.random.normal(jax.random.PRNGKey(2), (1, 4, 4, self.cfg.z_channels))
         img = ae_decode(self.params, self.cfg, z)
         assert img.shape == (1, 32, 32, 3)
 
@@ -61,7 +61,7 @@ class TestAutoencoder:
         dec = jax.jit(lambda p, z: ae_decode(p, self.cfg, z))
         z = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 8, self.cfg.z_channels))
         img = dec(self.params, z)
-        assert img.shape == (1, 16, 16, 3)
+        assert img.shape == (1, 64, 64, 3)
 
     def test_bf16_decode(self):
         params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), self.params)

@@ -1,0 +1,172 @@
+"""End-to-end pipeline tests on the tiny config (SURVEY.md §7 step 5: the minimum
+CPU-runnable slice — schnell-like 4-step low-res generation)."""
+
+import io
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from flux_fp8_api_tpu.models.autoencoder import init_autoencoder_params
+from flux_fp8_api_tpu.models.flux import quantize_flux_tree
+from flux_fp8_api_tpu.pipeline import FluxPipeline
+from flux_fp8_api_tpu.utils.config import ModelVersion
+
+from .helpers import (
+    TINY_AE_PARAMS,
+    tiny_flux,
+    tiny_spec,
+    tiny_text_encoders,
+)
+
+
+def make_pipeline(quant_kind=None, version=ModelVersion.flux_dev, **spec_overrides):
+    cfg, params = tiny_flux()
+    if quant_kind:
+        params = quantize_flux_tree(params, kind=quant_kind)
+    clip, t5 = tiny_text_encoders()
+    ae = init_autoencoder_params(jax.random.PRNGKey(5), TINY_AE_PARAMS)
+    spec = tiny_spec(
+        version=version,
+        text_enc_max_length=32,
+        num_scale_trials=3,
+        **spec_overrides,
+    )
+    return FluxPipeline(
+        name=str(version.value),
+        clip=clip,
+        t5=t5,
+        model=params,
+        model_cfg=cfg,
+        ae=ae,
+        config=spec,
+        prequantized=False,
+    )
+
+
+def decode_jpeg(buf: io.BytesIO) -> np.ndarray:
+    return np.array(Image.open(buf))
+
+
+class TestGenerate:
+    def test_float_generate_returns_jpeg(self):
+        pipe = make_pipeline()
+        out = pipe.generate(
+            prompt="a photo of a cat", width=64, height=64, num_steps=2, seed=7, silent=True
+        )
+        img = decode_jpeg(out)
+        assert img.shape == (64, 64, 3)
+        assert img.dtype == np.uint8
+
+    def test_seed_determinism_and_return_seed(self):
+        pipe = make_pipeline()
+        out1, seed1 = pipe.generate(
+            prompt="a cat", width=64, height=64, num_steps=2, seed=42, silent=True, return_seed=True
+        )
+        out2, seed2 = pipe.generate(
+            prompt="a cat", width=64, height=64, num_steps=2, seed=42, silent=True, return_seed=True
+        )
+        assert seed1 == seed2 == 42
+        np.testing.assert_array_equal(decode_jpeg(out1), decode_jpeg(out2))
+
+    def test_different_seeds_differ(self):
+        pipe = make_pipeline()
+        a = decode_jpeg(pipe.generate(prompt="a cat", width=64, height=64, num_steps=2, seed=1, silent=True))
+        b = decode_jpeg(pipe.generate(prompt="a cat", width=64, height=64, num_steps=2, seed=2, silent=True))
+        assert np.abs(a.astype(int) - b.astype(int)).max() > 0
+
+    def test_string_seed(self):
+        pipe = make_pipeline()
+        _, seed = pipe.generate(
+            prompt="a cat", width=64, height=64, num_steps=2, seed="123", silent=True, return_seed=True
+        )
+        assert seed == 123
+
+    def test_dimension_snapping(self):
+        pipe = make_pipeline()
+        out = pipe.generate(prompt="x", width=70, height=70, num_steps=1, seed=0, silent=True)
+        img = decode_jpeg(out)
+        assert img.shape == (64, 64, 3)  # snapped to multiple of 16
+
+    def test_schnell_forces_4_steps(self):
+        pipe = make_pipeline(version=ModelVersion.flux_schnell)
+        # num_steps=50 must be forced down to 4 (flux_pipeline.py:583); just verify
+        # it completes quickly and returns an image.
+        out = pipe.generate(prompt="a cat", width=64, height=64, num_steps=50, seed=0, silent=True)
+        assert decode_jpeg(out).shape == (64, 64, 3)
+
+    def test_num_images(self):
+        pipe = make_pipeline()
+        out = pipe.generate(prompt="a cat", width=64, height=64, num_steps=1, seed=0, silent=True, num_images=2)
+        img = decode_jpeg(out)
+        assert img.shape == (128, 64, 3)  # vstacked
+
+    def test_img2img(self):
+        pipe = make_pipeline()
+        init = (np.random.RandomState(0).rand(80, 80, 3) * 255).astype(np.uint8)
+        out = pipe.generate(
+            prompt="a cat", width=64, height=64, num_steps=4, seed=0,
+            init_image=init, strength=0.5, silent=True,
+        )
+        assert decode_jpeg(out).shape == (64, 64, 3)
+
+    def test_img2img_strength_zero_steps(self):
+        # strength 1.0 → full denoise from pure noise mixed at t=1
+        pipe = make_pipeline()
+        init = np.zeros((64, 64, 3), np.uint8)
+        out = pipe.generate(
+            prompt="a cat", width=64, height=64, num_steps=2, seed=0,
+            init_image=init, strength=1.0, silent=True,
+        )
+        assert decode_jpeg(out).shape == (64, 64, 3)
+
+
+class TestCalibrationInPipeline:
+    def test_fp8_pipeline_calibrates_then_freezes(self):
+        pipe = make_pipeline(quant_kind="fp8")
+        assert pipe._needs_calibration
+        pipe.generate(prompt="a cat", width=64, height=64, num_steps=4, seed=0, silent=True)
+        assert not pipe._needs_calibration  # 4 steps ≥ num_scale_trials=3
+        scales = np.asarray(
+            pipe.model_params["double_blocks"]["img_attn_qkv"].in_scale
+        )
+        assert not np.allclose(scales, 1.0)
+        # post-freeze generation uses the fused path and still works
+        out = pipe.generate(prompt="a cat", width=64, height=64, num_steps=2, seed=0, silent=True)
+        assert decode_jpeg(out).shape == (64, 64, 3)
+
+    def test_compile_runs_warmup(self):
+        pipe = make_pipeline(quant_kind="fp8")
+        pipe.compile()
+        assert not pipe._needs_calibration
+
+
+class TestOffload:
+    def test_offload_flags_roundtrip(self):
+        pipe = make_pipeline(
+            offload_flow=True, offload_vae=True, offload_text_encoder=True
+        )
+        out = pipe.generate(prompt="a cat", width=64, height=64, num_steps=1, seed=0, silent=True)
+        assert decode_jpeg(out).shape == (64, 64, 3)
+        # flow params returned to host after generate
+        leaf = pipe.model_params["img_in"].kernel
+        assert list(leaf.devices())[0].platform == "cpu"
+
+
+class TestLoadFromConfig:
+    def test_load_pipeline_from_config_path(self, tmp_path):
+        spec = tiny_spec(text_enc_max_length=32, flow_quantization_dtype=None)
+        p = tmp_path / "config.json"
+        p.write_text(spec.model_dump_json())
+        pipe = FluxPipeline.load_pipeline_from_config_path(str(p))
+        out = pipe.generate(prompt="a photo", width=64, height=64, num_steps=1, seed=0, silent=True)
+        assert decode_jpeg(out).shape == (64, 64, 3)
+
+    def test_kwargs_override(self, tmp_path):
+        spec = tiny_spec(text_enc_max_length=32, flow_quantization_dtype=None)
+        p = tmp_path / "config.json"
+        p.write_text(spec.model_dump_json())
+        pipe = FluxPipeline.load_pipeline_from_config_path(str(p), offload_vae=True)
+        assert pipe.offload_vae
