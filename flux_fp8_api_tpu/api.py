@@ -14,8 +14,15 @@ import time
 from typing import Any, Optional
 
 import numpy as np
-from fastapi import FastAPI, HTTPException
-from fastapi.responses import JSONResponse, StreamingResponse
+
+try:
+    from fastapi import FastAPI, HTTPException
+    from fastapi.responses import JSONResponse, StreamingResponse
+except ImportError as e:  # bare TPU-VM image: use flux_fp8_api_tpu.server instead
+    raise ImportError(
+        "fastapi is not installed; the stdlib server (flux_fp8_api_tpu.server) "
+        "provides the same endpoints without extra wheels"
+    ) from e
 from pydantic import BaseModel, Field
 
 app = FastAPI()

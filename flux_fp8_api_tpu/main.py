@@ -1,0 +1,97 @@
+"""CLI server launcher (reference ``main.py:1-199``): same flags, uvicorn serve."""
+
+from __future__ import annotations
+
+import argparse
+
+
+def parse_args():
+    parser = argparse.ArgumentParser(description="Launch Flux TPU API server")
+    parser.add_argument("-c", "--config-path", type=str,
+                        help="Path to a config JSON; if absent the model is built from the flags below")
+    parser.add_argument("-p", "--port", type=int, default=8088, help="Port to run the server on")
+    parser.add_argument("-H", "--host", type=str, default="0.0.0.0", help="Host to run the server on")
+    parser.add_argument("-f", "--flow-model-path", type=str, help="Path to the flow model safetensors")
+    parser.add_argument("-t", "--text-enc-path", type=str, help="Path to the T5 encoder directory")
+    parser.add_argument("-a", "--autoencoder-path", type=str, help="Path to the autoencoder safetensors")
+    parser.add_argument("-m", "--model-version", type=str,
+                        choices=["flux-dev", "flux-schnell"], default="flux-dev")
+    parser.add_argument("-F", "--flux-device", type=str, default="tpu:0",
+                        help="Device for the flow model (cuda:N accepted, maps to tpu:N)")
+    parser.add_argument("-T", "--text-enc-device", type=str, default="tpu:0")
+    parser.add_argument("-A", "--autoencoder-device", type=str, default="tpu:0")
+    parser.add_argument("-q", "--num-to-quant", type=int, default=20,
+                        help="(deprecated, kept for reference-CLI parity)")
+    parser.add_argument("-C", "--compile", action="store_true",
+                        help="Warm up + AOT-compile the denoise step (the torch.compile analog)")
+    parser.add_argument("-qt", "--quant-text-enc", type=str, default="qfloat8",
+                        choices=["qint4", "qfloat8", "qint2", "qint8", "bf16"],
+                        help="Quantization tier for the T5 text encoder")
+    parser.add_argument("-qa", "--quant-ae", action="store_true",
+                        help="Quantize the autoencoder with weight-only fp8")
+    parser.add_argument("-OF", "--offload-flow", action="store_true")
+    parser.add_argument("-OA", "--offload-ae", action="store_true")
+    parser.add_argument("-OT", "--offload-text-enc", action="store_true")
+    parser.add_argument("-PF", "--prequantized-flow", action="store_true",
+                        help="Flow checkpoint already carries fp8 data + scales (skips calibration)")
+    parser.add_argument("-nqfm", "--no-quantize-modulation", dest="quantize_modulation",
+                        action="store_false",
+                        help="Keep modulation linears unquantized (~2GB more, better precision)")
+    parser.add_argument("-qfl", "--quantize-flow-embedder-layers", action="store_true",
+                        help="Also quantize img_in/txt_in/time_in/vector_in/guidance_in (~512MB less)")
+    return parser.parse_args()
+
+
+def main():
+    args = parse_args()
+
+    # lazy imports so --help returns fast (reference main.py:154-156)
+    from .pipeline import FluxPipeline
+    from .utils.config import ModelVersion, load_config
+
+    if args.config_path:
+        pipeline = FluxPipeline.load_pipeline_from_config_path(
+            args.config_path, flow_model_path=args.flow_model_path
+        )
+    else:
+        config = load_config(
+            ModelVersion(args.model_version),
+            flux_path=args.flow_model_path,
+            flux_device=args.flux_device,
+            ae_path=args.autoencoder_path,
+            ae_device=args.autoencoder_device,
+            text_enc_path=args.text_enc_path,
+            text_enc_device=args.text_enc_device,
+            flow_dtype="bfloat16",
+            text_enc_dtype="bfloat16",
+            ae_dtype="bfloat16",
+            num_to_quant=args.num_to_quant,
+            compile_extras=args.compile,
+            compile_blocks=args.compile,
+            quant_text_enc=(None if args.quant_text_enc == "bf16" else args.quant_text_enc),
+            quant_ae=args.quant_ae,
+            offload_flow=args.offload_flow,
+            offload_ae=args.offload_ae,
+            offload_text_enc=args.offload_text_enc,
+            prequantized_flow=args.prequantized_flow,
+            quantize_modulation=args.quantize_modulation,
+            quantize_flow_embedder_layers=args.quantize_flow_embedder_layers,
+        )
+        pipeline = FluxPipeline.load_pipeline_from_config(config)
+
+    try:
+        import uvicorn
+
+        from .api import app
+
+        app.state.model = pipeline
+        uvicorn.run(app, host=args.host, port=args.port)
+    except ImportError:
+        # bare TPU-VM image without fastapi/uvicorn: stdlib server, same endpoints
+        from .server import serve
+
+        serve(pipeline, host=args.host, port=args.port)
+
+
+if __name__ == "__main__":
+    main()

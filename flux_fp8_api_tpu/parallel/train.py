@@ -1,0 +1,78 @@
+"""Flow-matching training step, sharded over a (dp, tp) mesh.
+
+The reference is inference-only; this is the TPU-native framework's scaling extension:
+a rectified-flow training objective (the one FLUX models are trained with — predict the
+velocity (noise − data) at an interpolated latent) jitted over a Mesh so data-parallel
+gradient all-reduces and tensor-parallel activation collectives ride ICI via GSPMD.
+
+Used by ``__graft_entry__.dryrun_multichip`` to validate the multi-chip shardings
+compile and execute.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.flux import FluxStatic, flux_apply
+from ..ops.packing import make_img_ids, make_txt_ids, pack_latents
+
+
+def flow_matching_loss(
+    params: Dict[str, Any],
+    cfg: FluxStatic,
+    batch: Dict[str, jnp.ndarray],
+    key: jax.Array,
+) -> jnp.ndarray:
+    """Rectified-flow MSE: x_t = (1-t)·x₀ + t·ε, target v = ε − x₀."""
+    x0 = batch["latents"]  # (B, L, C) packed clean latents
+    txt = batch["txt"]
+    y = batch["y"]
+    b = x0.shape[0]
+    k_t, k_eps = jax.random.split(key)
+    t = jax.random.uniform(k_t, (b,), jnp.float32)
+    eps = jax.random.normal(k_eps, x0.shape, jnp.float32).astype(x0.dtype)
+    t_b = t.astype(x0.dtype)[:, None, None]
+    x_t = (1.0 - t_b) * x0 + t_b * eps
+
+    img_ids = batch["img_ids"]
+    txt_ids = batch["txt_ids"]
+    guidance = jnp.full((b,), 1.0, jnp.float32) if cfg.guidance_embed else None
+    pred = flux_apply(params, cfg, x_t, img_ids, txt, txt_ids, t, y, guidance)
+    target = eps - x0
+    return jnp.mean((pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2)
+
+
+def sgd_update(params, grads, lr: float = 1e-4):
+    """Minimal optimizer for the dry-run path (real training would plug optax here —
+    the step fn is optimizer-agnostic)."""
+    return jax.tree.map(
+        lambda p, g: p - lr * g.astype(p.dtype) if g is not None else p, params, grads
+    )
+
+
+def make_train_step(cfg: FluxStatic):
+    """→ jitted step(params, batch, key) → (params, loss). Sharding comes from the
+    argument placements (GSPMD propagates from param/batch shardings)."""
+
+    @partial(jax.jit, static_argnames=(), donate_argnums=(0,))
+    def step(params, batch, key):
+        loss, grads = jax.value_and_grad(flow_matching_loss)(params, cfg, batch, key)
+        return sgd_update(params, grads), loss
+
+    return step
+
+
+def make_dummy_batch(cfg: FluxStatic, batch: int, h_latent: int, w_latent: int, txt_len: int, key):
+    ks = jax.random.split(key, 3)
+    seq = (h_latent // 2) * (w_latent // 2)
+    return {
+        "latents": jax.random.normal(ks[0], (batch, seq, cfg.in_channels), jnp.float32).astype(cfg.dtype),
+        "txt": jax.random.normal(ks[1], (batch, txt_len, cfg.context_in_dim), jnp.float32).astype(cfg.dtype),
+        "y": jax.random.normal(ks[2], (batch, cfg.vec_in_dim), jnp.float32).astype(cfg.dtype),
+        "img_ids": make_img_ids(h_latent, w_latent, batch),
+        "txt_ids": make_txt_ids(txt_len, batch),
+    }

@@ -1,0 +1,98 @@
+"""HTTP server tests (stdlib server, same endpoints as reference api.py)."""
+
+import json
+import urllib.request
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from flux_fp8_api_tpu.server import PipelineServer
+
+from .test_pipeline import make_pipeline
+
+
+@pytest.fixture(scope="module")
+def server():
+    pipe = make_pipeline()
+    srv = PipelineServer(pipe, host="127.0.0.1", port=8971)
+    srv.start_background()
+    yield srv
+    srv.shutdown()
+
+
+def _post(path, body, port=8971):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=json.dumps(body).encode(),
+        headers={"content-type": "application/json"},
+        method="POST",
+    )
+    try:
+        resp = urllib.request.urlopen(req, timeout=300)
+        return resp.status, resp.headers.get("content-type"), resp.read()
+    except urllib.error.HTTPError as e:
+        return e.code, e.headers.get("content-type"), e.read()
+
+
+def _get(path, port=8971):
+    resp = urllib.request.urlopen(f"http://127.0.0.1:{port}{path}", timeout=30)
+    return resp.status, json.loads(resp.read())
+
+
+class TestServer:
+    def test_health(self, server):
+        status, body = _get("/health")
+        assert status == 200
+        assert body["status"] == "ok"
+        assert body["model"] == "flux-dev"
+
+    def test_generate_returns_jpeg(self, server, tmp_path):
+        status, ctype, payload = _post(
+            "/generate",
+            {"prompt": "a cat", "width": 64, "height": 64, "num_steps": 1, "seed": 3},
+        )
+        assert status == 200
+        assert ctype == "image/jpeg"
+        p = tmp_path / "out.jpg"
+        p.write_bytes(payload)
+        im = Image.open(p)
+        assert im.size == (64, 64)
+
+    def test_generate_missing_prompt_400(self, server):
+        status, ctype, payload = _post("/generate", {"width": 64})
+        assert status == 400
+
+    def test_lora_missing_path_400(self, server):
+        status, _, payload = _post("/lora", {"action": "load"})
+        assert status == 400
+        assert json.loads(payload)["status"] == "error"
+
+    def test_lora_bad_file_500(self, server):
+        status, _, payload = _post("/lora", {"action": "load", "path": "/nope.safetensors"})
+        assert status == 500
+
+    def test_lora_load_unload_roundtrip(self, server):
+        from .test_lora import make_kohya_lora
+
+        # dict LoRAs aren't JSON-transportable; write one to disk
+        import tempfile
+
+        from flux_fp8_api_tpu.utils.safetensors_io import save_safetensors
+
+        with tempfile.NamedTemporaryFile(suffix=".safetensors", delete=False) as f:
+            path = f.name
+        save_safetensors(path, make_kohya_lora())
+        status, _, payload = _post("/lora", {"action": "load", "path": path, "scale": 1.0})
+        assert status == 200, payload
+        status, body = _get("/health")
+        assert len(body["loras"]) == 1
+        status, _, payload = _post("/lora", {"action": "unload", "path": path})
+        assert status == 200
+        _, body = _get("/health")
+        assert body["loras"] == []
+
+    def test_metrics(self, server):
+        status, body = _get("/metrics")
+        assert status == 200
+        assert body["requests"] >= 1
