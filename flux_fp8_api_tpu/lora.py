@@ -315,6 +315,11 @@ def fuse_lora(
 ) -> Dict[str, Any]:
     """Fuse every LoRA-touched module: W ← W + scaleᐧB@A (reference
     apply_lora_to_model, lora_loading.py:634-693). Negative scale unfuses."""
+    from .utils.checkpoint import qkv_out_permutation
+
+    qkv_perm = qkv_out_permutation(cfg.hidden_size, cfg.head_dim)
+    lin1_perm = qkv_out_permutation(cfg.hidden_size, cfg.head_dim, extra=cfg.mlp_hidden)
+
     params = dict(params)
     stacked_updates: Dict[str, Linear] = {}
     for key in keys:
@@ -323,6 +328,12 @@ def fuse_lora(
             continue  # plain-weight keys (e.g. qk-norm scales) are skipped, like the
             # reference's get_lora_for_key → None path (lora_loading.py:686)
         delta_T = jnp.asarray(calculate_lora_delta(*factors, lora_scale=lora_scale).T)
+        # LoRA deltas arrive in the checkpoint's interleaved rope layout; runtime
+        # weights are deinterleaved (utils/checkpoint.py) — permute to match.
+        if key.endswith((".img_attn.qkv", ".txt_attn.qkv")) and delta_T.shape[-1] == 3 * cfg.hidden_size:
+            delta_T = delta_T[..., qkv_perm]
+        elif key.endswith(".linear1") and delta_T.shape[-1] == 3 * cfg.hidden_size + cfg.mlp_hidden:
+            delta_T = delta_T[..., lin1_perm]
 
         m = re.match(r"(double_blocks|single_blocks)\.(\d+)\.(.+)", key)
         if m:

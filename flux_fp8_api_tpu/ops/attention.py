@@ -47,6 +47,10 @@ def _flash_fn(block_q: int, block_kv: int):
     return functools.partial(flash_attention, causal=False, block_sizes=sizes)
 
 
+# (block_q, block_kv) preference order for the qk-norm kernel; picked by divisibility
+_QKNORM_BLOCKS = ((768, 1536), (512, 1024), (512, 512), (256, 512), (256, 256))
+
+
 def attention_core(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -55,21 +59,32 @@ def attention_core(
 ) -> jnp.ndarray:
     """Softmax attention over the full (txt+img) joint sequence.
 
+    Dispatch: FLUX q/k are RMS-normed, so the max-free qk-norm Pallas kernel
+    (ops/attention_kernel.py) is the default on TPU; falls back to JAX's flash kernel
+    for sequence lengths its blocks don't divide, and to XLA SDPA off-TPU.
+
     Args:
-      q, k, v: (B, L, N, H). L is padded by callers to a multiple of 256 when the
-        Pallas path is enabled (FLUX seq lens — txt 256/512 + img (h/16)(w/16) — already
-        are for standard resolutions).
+      q, k, v: (B, L, N, H).
     Returns:
       (B, L, N, H) in q.dtype.
     """
-    if use_pallas and q.shape[1] % 256 == 0 and jax.default_backend() == "tpu":
-        # Pallas flash kernel wants BNLH.
-        qt, kt, vt = (x.transpose(0, 2, 1, 3) for x in (q, k, v))
-        sm_scale = 1.0 / (q.shape[-1] ** 0.5)
-        out = _flash_fn(256, 512 if q.shape[1] % 512 == 0 else 256)(
-            qt, kt, vt, sm_scale=sm_scale
-        )
-        return out.transpose(0, 2, 1, 3).astype(q.dtype)
+    b, l, n, h = q.shape
+    sm_scale = 1.0 / (h**0.5)
+    if use_pallas and jax.default_backend() == "tpu":
+        for bq, bkv in _QKNORM_BLOCKS:
+            if l % bq == 0 and l % bkv == 0:
+                from .attention_kernel import qknorm_attention
+
+                # fold batch into heads: (B, L, N, H) → (B*N, L, H)
+                qh, kh, vh = (
+                    x.transpose(0, 2, 1, 3).reshape(b * n, l, h) for x in (q, k, v)
+                )
+                out = qknorm_attention(qh, kh, vh, sm_scale, block_q=bq, block_kv=bkv)
+                return out.reshape(b, n, l, h).transpose(0, 2, 1, 3).astype(q.dtype)
+        if l % 256 == 0:
+            qt, kt, vt = (x.transpose(0, 2, 1, 3) for x in (q, k, v))
+            out = _flash_fn(256, 512 if l % 512 == 0 else 256)(qt, kt, vt, sm_scale=sm_scale)
+            return out.transpose(0, 2, 1, 3).astype(q.dtype)
     return _sdpa_xla(q, k, v)
 
 

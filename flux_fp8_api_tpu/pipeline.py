@@ -21,6 +21,7 @@ from __future__ import annotations
 import base64
 import io
 import math
+import time
 from typing import Any, Dict, List, Optional, Union
 
 import jax
@@ -98,6 +99,9 @@ class FluxPipeline:
         self._trials_done = 0
 
         self.loras: List = []  # LoraWeights registry (reference flux_model.py:518)
+        # per-phase wall-clock of the last generate (tracing/profiling surface —
+        # SURVEY.md §5: the reference's only metric is the tqdm it/s)
+        self.timings: Dict[str, float] = {}
 
         self._rng = np.random.default_rng()
         self._jit_ae_decode = jax.jit(
@@ -320,11 +324,15 @@ class FluxPipeline:
         if self.offload_flow:
             self.model_params = jax.device_put(self.model_params, self.device_flux)
 
+        t_denoise = time.perf_counter()
         if self._needs_calibration:
             img = self._calibration_denoise(
                 img, img_ids, txt, txt_ids, vec, timesteps, guidance, silent
             )
         else:
+            # silent (server) mode: fused whole-loop scan — fastest. Interactive mode:
+            # per-step jit with a tqdm bar whose rate is the reference's it/s metric
+            # (flux_pipeline.py:628-630).
             img = denoise(
                 self.model_params,
                 self.model_cfg,
@@ -335,9 +343,16 @@ class FluxPipeline:
                 vec,
                 timesteps,
                 guidance,
-                fused=True,
+                fused=silent,
                 progress=not silent,
             )
+        # fetch one element rather than block_until_ready: on the axon-tunneled TPU
+        # block_until_ready is a no-op, a value fetch forces execution everywhere
+        _ = jax.device_get(img[0, :1, :1])
+        self.timings["denoise_seconds"] = time.perf_counter() - t_denoise
+        self.timings["denoise_it_per_s"] = (len(timesteps) - 1) / max(
+            self.timings["denoise_seconds"], 1e-9
+        )
 
         if self.offload_flow:
             self.model_params = jax.device_put(self.model_params, self._host)
@@ -380,6 +395,35 @@ class FluxPipeline:
 
         self.model_params, self.loras = lora_mod.pipeline_unload_lora(
             self.model_params, self.model_cfg, self.loras, path_or_identifier
+        )
+
+    # -------------------------------------------------------------------- checkpoints
+
+    def save_prequantized(self, path: str):
+        """Export the quantized flow weights + tuned scales so reload skips both
+        quantization and calibration (the reference's prequantized workflow:
+        README.md:186-192 — run ≥num_scale_trials steps, then save).
+
+        Raises if input scales haven't been calibrated yet (generate once, or call
+        ``compile()``, first).
+        """
+        if self._needs_calibration:
+            raise RuntimeError(
+                "input scales are not calibrated yet — run generate() for at least "
+                f"{self.config.num_scale_trials} steps (or compile()) before saving"
+            )
+        from .utils.checkpoint import save_prequantized as _save
+
+        _save(
+            path,
+            self.model_params,
+            extra_meta={
+                "quantize_modulation": str(self.config.quantize_modulation),
+                "quantize_flow_embedder_layers": str(
+                    self.config.quantize_flow_embedder_layers
+                ),
+                "version": str(self.config.version),
+            },
         )
 
     # ------------------------------------------------------------------------ compile

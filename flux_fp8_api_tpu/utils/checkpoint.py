@@ -25,6 +25,7 @@ import numpy as np
 
 from ..models.flux import FluxStatic, init_flux_params
 from ..ops.quant import Linear
+from ..ops.rope import deinterleave_permutation
 from ..utils.config import AutoEncoderParams, ModelSpec
 from .safetensors_io import SafetensorsFile, save_safetensors
 
@@ -146,7 +147,72 @@ def load_flux_checkpoint(
         "linear": _get_linear(sd, "final_layer.linear", dtype),
         "adaln": _get_linear(sd, "final_layer.adaLN_modulation.1", dtype),
     }
-    return tree
+    # checkpoints store the interleaved rope layout; runtime uses half-split
+    return deinterleave_flux_tree(tree, cfg)
+
+
+def qkv_out_permutation(hidden_size: int, head_dim: int, extra: int = 0) -> np.ndarray:
+    """Output-axis permutation for a fused qkv(+mlp) kernel that converts the
+    checkpoint's interleaved rope channel layout into the runtime's half-split layout
+    (see ops/rope.py): q and k sections permute per-head, v (and any mlp tail) stay.
+
+    ``extra``: width of a trailing non-attention section (single-block linear1's
+    mlp_in part).
+    """
+    head_perm = deinterleave_permutation(head_dim)
+    n_heads = hidden_size // head_dim
+    sec = np.concatenate([h * head_dim + head_perm for h in range(n_heads)])
+    return np.concatenate(
+        [
+            sec,  # q
+            hidden_size + sec,  # k
+            np.arange(2 * hidden_size, 3 * hidden_size),  # v untouched
+            np.arange(3 * hidden_size, 3 * hidden_size + extra),  # mlp tail untouched
+        ]
+    )
+
+
+def _permute_linear_out(lin: Linear, perm: np.ndarray) -> Linear:
+    """Permute a Linear's output channels (kernel/q columns, bias, per-channel scales)."""
+    import dataclasses
+
+    def pcols(a):
+        return None if a is None else a[..., perm]
+
+    return dataclasses.replace(
+        lin,
+        kernel=pcols(lin.kernel),
+        q=pcols(lin.q),
+        bias=pcols(lin.bias),
+        w_scale=lin.w_scale if lin.w_scale is None or lin.w_scale.shape[-1] != len(perm) else pcols(lin.w_scale),
+        w_scale_inv=lin.w_scale_inv
+        if lin.w_scale_inv is None or lin.w_scale_inv.shape[-1] != len(perm)
+        else pcols(lin.w_scale_inv),
+    )
+
+
+def deinterleave_flux_tree(tree: Dict[str, Any], cfg: FluxStatic) -> Dict[str, Any]:
+    """Apply the rope deinterleave permutation to every q/k-producing kernel and the
+    qk-norm scales. Model outputs are mathematically unchanged (test_ops.py proves
+    score equivalence); rope then runs with full-width vector ops."""
+    hd = cfg.head_dim
+    head_perm = jnp.asarray(deinterleave_permutation(hd))
+    qkv_perm = jnp.asarray(qkv_out_permutation(cfg.hidden_size, hd))
+    lin1_perm = jnp.asarray(qkv_out_permutation(cfg.hidden_size, hd, extra=cfg.mlp_hidden))
+
+    out = dict(tree)
+    db = dict(tree["double_blocks"])
+    for name in ("img_attn_qkv", "txt_attn_qkv"):
+        db[name] = _permute_linear_out(db[name], qkv_perm)
+    for name in ("img_attn_qnorm", "img_attn_knorm", "txt_attn_qnorm", "txt_attn_knorm"):
+        db[name] = db[name][..., head_perm]
+    out["double_blocks"] = db
+    sb = dict(tree["single_blocks"])
+    sb["linear1"] = _permute_linear_out(sb["linear1"], lin1_perm)
+    for name in ("qnorm", "knorm"):
+        sb[name] = sb[name][..., head_perm]
+    out["single_blocks"] = sb
+    return out
 
 
 def is_prequantized_reference_file(path: str) -> bool:

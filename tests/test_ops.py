@@ -122,10 +122,11 @@ class TestRope:
     def test_apply_rope_rotation_norm_preserving(self):
         key = jax.random.PRNGKey(0)
         q = jax.random.normal(key, (1, 6, 2, 16))
-        cos, sin = rope.rope_cos_sin(jnp.arange(6.0), 16, 10000)
-        cos, sin = cos[None, :, None, :], sin[None, :, None, :]
+        ids = jnp.broadcast_to(jnp.arange(6.0)[None, :, None], (1, 6, 1))
+        cos, sin = rope.embed_nd_cos_sin(ids, (16,), 10000)
+        cos, sin = cos[:, :, None, :], sin[:, :, None, :]
         q_rot, _ = rope.apply_rope(q, q, cos, sin)
-        # rotation preserves the norm of each (even, odd) pair
+        # rotation preserves the full-vector norm
         np.testing.assert_allclose(
             np.linalg.norm(np.asarray(q_rot), axis=-1),
             np.linalg.norm(np.asarray(q), axis=-1),
@@ -133,11 +134,11 @@ class TestRope:
         )
 
     def test_apply_rope_hand_value(self):
-        # single pair (1, 0) rotated by angle a → (cos a, sin a)
-        x = jnp.array([[[[1.0, 0.0]]]])  # (1,1,1,2)
+        # half-split pair (x0, x1) = (1, 0) rotated by angle a → (cos a, sin a)
+        x = jnp.array([[[[1.0, 0.0]]]])  # (1,1,1,2): pair is (ch0, ch1) via halves
         a = 0.3
-        cos = jnp.full((1, 1, 1, 1), math.cos(a))
-        sin = jnp.full((1, 1, 1, 1), math.sin(a))
+        cos = jnp.full((1, 1, 1, 2), math.cos(a))
+        sin = jnp.full((1, 1, 1, 2), math.sin(a))
         out, _ = rope.apply_rope(x, x, cos, sin)
         np.testing.assert_allclose(
             np.asarray(out)[0, 0, 0], [math.cos(a), math.sin(a)], rtol=1e-6
@@ -146,8 +147,43 @@ class TestRope:
     def test_embed_nd_concat(self):
         ids = jnp.zeros((1, 5, 3))
         cos, sin = rope.embed_nd_cos_sin(ids, (16, 56, 56), 10000)
-        assert cos.shape == (1, 5, 64)  # sum(axes)/2 = 128/2
-        assert sin.shape == (1, 5, 64)
+        assert cos.shape == (1, 5, 128)  # full head_dim width (duplicated halves)
+        assert sin.shape == (1, 5, 128)
+
+    def test_attention_scores_match_interleaved_reference_after_permutation(self):
+        """Half-split rope + the deinterleave channel permutation must produce the
+        same q·kᵀ scores as the reference's interleaved-pair rotation
+        (flux_model.py:49-65) on the *unpermuted* channels."""
+        key = jax.random.PRNGKey(3)
+        kq, kk = jax.random.split(key)
+        seq, dim = 7, 16
+        q = jax.random.normal(kq, (seq, dim))
+        k = jax.random.normal(kk, (seq, dim))
+        pos = jnp.arange(seq, dtype=jnp.float32)
+
+        # deinterleave permutation: channel 2j → j, 2j+1 → j + dim/2
+        perm = rope.deinterleave_permutation(dim)
+        q_p, k_p = q[:, perm], k[:, perm]
+
+        ids = pos[None, :, None]
+        cos, sin = rope.embed_nd_cos_sin(ids, (dim,), 10000)
+        q_ours, k_ours = rope.apply_rope(q_p[None], k_p[None], cos, sin)
+        scores_ours = np.asarray(q_ours[0] @ k_ours[0].T)
+
+        # reference: interleaved (x[2j], x[2j+1]) pairs with the same angles
+        c_half, s_half = rope.rope_cos_sin(pos, dim, 10000)  # (seq, dim/2)
+        c_half, s_half = np.asarray(c_half), np.asarray(s_half)
+
+        def rot_interleaved(x):
+            x = np.asarray(x)
+            even, odd = x[..., 0::2], x[..., 1::2]
+            out = np.empty_like(x)
+            out[..., 0::2] = c_half * even - s_half * odd
+            out[..., 1::2] = s_half * even + c_half * odd
+            return out
+
+        scores_ref = rot_interleaved(q) @ rot_interleaved(k).T
+        np.testing.assert_allclose(scores_ours, scores_ref, rtol=1e-4, atol=1e-4)
 
 
 class TestPacking:
