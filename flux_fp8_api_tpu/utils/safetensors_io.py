@@ -35,11 +35,20 @@ _DTYPES = {
 _DTYPE_NAMES = {np.dtype(v): k for k, v in _DTYPES.items()}
 
 
-class SafetensorsFile:
-    """mmap-backed reader. Tensors are lazy views; ``keys()``/``get(name)``/``items()``."""
+_NATIVE_READ_THRESHOLD = 64 << 20  # tensors ≥64MB go through the C++ data plane
 
-    def __init__(self, path: str):
+
+class SafetensorsFile:
+    """mmap-backed reader. Tensors are lazy views; ``keys()``/``get(name)``/``items()``.
+
+    Large tensors read through the C++ parallel-pread data plane
+    (native/stload.cpp via utils/native_io.py) when it's available — multi-GB
+    checkpoint cold loads saturate the disk instead of faulting pages serially.
+    """
+
+    def __init__(self, path: str, use_native: bool = True):
         self.path = Path(path)
+        self.use_native = use_native
         f = open(self.path, "rb")
         self._mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
         f.close()
@@ -48,6 +57,10 @@ class SafetensorsFile:
         self.metadata = header.pop("__metadata__", {})
         self._entries = header
         self._data_start = 8 + int(header_len)
+        if use_native:
+            from . import native_io
+
+            native_io.prefetch(str(self.path))
 
     def keys(self):
         return self._entries.keys()
@@ -56,6 +69,13 @@ class SafetensorsFile:
         ent = self._entries[name]
         dtype = _DTYPES[ent["dtype"]]
         start, end = ent["data_offsets"]
+        nbytes = end - start
+        if self.use_native and nbytes >= _NATIVE_READ_THRESHOLD:
+            from . import native_io
+
+            buf = native_io.parallel_read(str(self.path), self._data_start + start, nbytes)
+            if buf is not None:
+                return buf.view(dtype).reshape(ent["shape"])
         buf = self._mm[self._data_start + start : self._data_start + end]
         return np.frombuffer(buf, dtype=dtype).reshape(ent["shape"])
 
