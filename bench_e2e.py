@@ -1,0 +1,144 @@
+"""End-to-end serving benchmark: images/min including T5 encode + denoise + VAE decode.
+
+The BASELINE metric names both the denoise it/s (bench.py) and e2e images/min incl.
+T5+VAE. This drives the full FluxPipeline on one v5e with the realistic single-chip
+memory plan: flux-dev fp8 (~12GB) + T5-XXL weight-only int4 (~2.7GB) + VAE bf16 +
+CLIP-L bf16 — everything resident, random-init (no weights ship in this image; wall
+clock doesn't depend on values).
+
+Usage: python bench_e2e.py [width height steps]  → one JSON line.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bench import random_quantized_flux
+from flux_fp8_api_tpu.models.autoencoder import init_autoencoder_params
+from flux_fp8_api_tpu.models.clip import CLIPConfig, init_clip_params
+from flux_fp8_api_tpu.models.conditioner import TextEncoder
+from flux_fp8_api_tpu.models.flux import FluxStatic
+from flux_fp8_api_tpu.models.t5 import T5Config
+from flux_fp8_api_tpu.ops.quant import Linear
+from flux_fp8_api_tpu.pipeline import FluxPipeline
+from flux_fp8_api_tpu.utils.config import AutoEncoderParams, FluxParams, ModelSpec, ModelVersion
+from flux_fp8_api_tpu.utils.loader import _toy_tokenizer
+
+
+def random_int4_t5(cfg: T5Config, key) -> dict:
+    """T5-XXL-shaped params with wo_int4 linears built directly (no bf16 staging)."""
+    from functools import partial
+
+    counter = [0]
+
+    def nk():
+        counter[0] += 1
+        return jax.random.fold_in(key, counter[0])
+
+    @partial(jax.jit, static_argnums=(1, 2))
+    def wo4(key, inf, outf):
+        packed = jax.random.bits(key, (cfg.num_layers, inf // 2, outf), jnp.uint8)
+        nblocks = inf // 64 if inf % 64 == 0 else 1
+        scale_inv = jnp.full((cfg.num_layers, nblocks, outf), 2e-3, jnp.float32)
+        return Linear(q=packed, w_scale_inv=scale_inv, kind="wo_int4")
+
+    inner = cfg.num_heads * cfg.d_kv
+    blocks = {
+        "q": wo4(nk(), cfg.d_model, inner),
+        "k": wo4(nk(), cfg.d_model, inner),
+        "v": wo4(nk(), cfg.d_model, inner),
+        "o": wo4(nk(), inner, cfg.d_model),
+        "ln1": jnp.ones((cfg.num_layers, cfg.d_model), jnp.bfloat16),
+        "wi_0": wo4(nk(), cfg.d_model, cfg.d_ff),
+        "wi_1": wo4(nk(), cfg.d_model, cfg.d_ff),
+        "wo": wo4(nk(), cfg.d_ff, cfg.d_model),
+        "ln2": jnp.ones((cfg.num_layers, cfg.d_model), jnp.bfloat16),
+    }
+    return {
+        "shared": jax.random.normal(nk(), (cfg.vocab_size, cfg.d_model), jnp.bfloat16) * 0.02,
+        "rel_bias": jax.random.normal(nk(), (cfg.relative_attention_num_buckets, cfg.num_heads), jnp.bfloat16) * 0.02,
+        "blocks": blocks,
+        "final_ln": jnp.ones((cfg.d_model,), jnp.bfloat16),
+    }
+
+
+def main():
+    width = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    height = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
+    steps = int(sys.argv[3]) if len(sys.argv) > 3 else 28
+
+    flux_params = FluxParams(
+        in_channels=64, vec_in_dim=768, context_in_dim=4096, hidden_size=3072,
+        mlp_ratio=4.0, num_heads=24, depth=19, depth_single_blocks=38,
+        axes_dim=[16, 56, 56], theta=10_000, qkv_bias=True, guidance_embed=True,
+    )
+    ae_params = AutoEncoderParams(
+        resolution=1024, in_channels=3, ch=128, out_ch=3, ch_mult=[1, 2, 4, 4],
+        num_res_blocks=2, z_channels=16, scale_factor=0.3611, shift_factor=0.1159,
+    )
+    spec = ModelSpec(
+        version=ModelVersion.flux_dev, params=flux_params, ae_params=ae_params,
+        text_enc_max_length=512, num_scale_trials=6,
+        # single-chip memory plan: flow (12GB) stays resident; T5+CLIP live on host
+        # and stream in per request (the config-dev-offload tier)
+        offload_text_encoder=True,
+    )
+    cfg = FluxStatic.from_params(flux_params)
+    print("building models...", file=sys.stderr)
+    flow = random_quantized_flux(cfg, jax.random.PRNGKey(0), kind="fp8")
+    ae = init_autoencoder_params(jax.random.PRNGKey(1), ae_params, jnp.bfloat16)
+
+    t5_cfg = T5Config()  # T5-XXL defaults
+    t5_params = random_int4_t5(t5_cfg, jax.random.PRNGKey(2))
+    accel = jax.devices()[0]
+    t5 = TextEncoder("t5", t5_params, t5_cfg, _toy_tokenizer("t5"), max_length=512,
+                     device=accel, offload=True)
+    clip_cfg = CLIPConfig()  # ViT-L text tower defaults
+    clip = TextEncoder(
+        "clip", init_clip_params(jax.random.PRNGKey(3), clip_cfg, jnp.bfloat16),
+        clip_cfg, _toy_tokenizer("clip"), max_length=77, device=accel, offload=True,
+    )
+
+    pipe = FluxPipeline(
+        name="flux-dev", clip=clip, t5=t5, model=flow, model_cfg=cfg, ae=ae,
+        config=spec, prequantized=True,  # bench scales are pre-set; skip calibration
+    )
+
+    prompt = "a (beautiful:1.2) photograph of a mountain lake at dawn, mist over the water"
+    t0 = time.perf_counter()
+    pipe.generate(prompt=prompt, width=width, height=height, num_steps=steps, seed=1, silent=True)
+    warm = time.perf_counter() - t0
+    print(f"warmup (compiles): {warm:.1f}s", file=sys.stderr)
+
+    n = 3
+    t0 = time.perf_counter()
+    for i in range(n):
+        out = pipe.generate(
+            prompt=prompt, width=width, height=height, num_steps=steps, seed=100 + i, silent=True
+        )
+    dt = (time.perf_counter() - t0) / n
+    jpeg_bytes = len(out.getvalue())
+
+    print(
+        json.dumps(
+            {
+                "metric": f"e2e images/min @{width}x{height} flux-dev fp8 + T5-XXL int4 + VAE, {steps} steps (TPU v5e)",
+                "value": round(60.0 / dt, 3),
+                "unit": "images/min",
+                "detail": {
+                    "seconds_per_image": round(dt, 2),
+                    "denoise_seconds": round(pipe.timings.get("denoise_seconds", 0), 2),
+                    "jpeg_bytes": jpeg_bytes,
+                    "warmup_s": round(warm, 1),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

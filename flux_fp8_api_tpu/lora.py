@@ -32,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .models.flux import FluxStatic
+from .utils.logging import logger
 from .ops.quant import Linear, dequantize_kernel, quantize_linear_fp8, quantize_linear_int8
 from .utils.safetensors_io import load_safetensors
 
@@ -424,15 +425,18 @@ def pipeline_load_lora(
     existing = next((l for l in registry if l.path == ident or l.name == ident), None)
     if existing is not None:
         if existing.scale == scale:
-            return params, registry  # already loaded at this scale
+            logger.warning(f"Lora {existing.name} already loaded with same scale - ignoring!")
+            return params, registry
         keys = _module_keys(existing.weights)
         params = fuse_lora(params, cfg, existing.weights, keys, -existing.scale)
         params = fuse_lora(params, cfg, existing.weights, keys, scale)
         existing.scale = scale
         return params, registry
     keys, sd = _resolve(lora_path, cfg.guidance_embed)
+    logger.info(f"Loading LoRA weights for {ident} (scale={scale}, {len(keys)} modules)")
     params = fuse_lora(params, cfg, sd, keys, scale)
     registry = registry + [LoraWeights(sd, ident, name, scale)]
+    logger.success("Lora applied")
     return params, registry
 
 
@@ -447,5 +451,9 @@ def pipeline_unload_lora(
         if lora.path == path_or_identifier or lora.name == path_or_identifier:
             keys = _module_keys(lora.weights)
             params = fuse_lora(params, cfg, lora.weights, keys, -lora.scale)
+            logger.info("Successfully removed lora from module.")
             return params, registry[:i] + registry[i + 1 :]
-    return params, registry  # not found → warn-and-ignore semantics
+    logger.warning(
+        f"Couldn't remove lora {path_or_identifier} as it wasn't found fused to the model!"
+    )
+    return params, registry

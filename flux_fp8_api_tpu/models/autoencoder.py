@@ -68,15 +68,35 @@ def _resnet_block(p: Dict[str, Any], x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _attn_block(p: Dict[str, Any], x: jnp.ndarray) -> jnp.ndarray:
-    """reference AttnBlock (autoencoder.py:23-52): 1×1-conv qkv + SDPA over hw tokens."""
+    """reference AttnBlock (autoencoder.py:23-52): 1×1-conv qkv + SDPA over hw tokens.
+
+    At 1024² images the mid block sees 128×128 = 16k tokens — naive SDPA would
+    materialize a 16k×16k fp32 logit matrix (1GB). Above 4096 tokens the query axis is
+    chunked so the peak transient stays bounded.
+    """
     h = _group_norm(p["norm"], x)
     q, k, v = (_conv(p[n], h) for n in ("q", "k", "v"))
     b, hh, ww, c = q.shape
-    q, k, v = (t.reshape(b, hh * ww, 1, c) for t in (q, k, v))  # BTNH, 1 head
-    out = jax.nn.dot_product_attention(
-        q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32)
-    ).astype(x.dtype)
-    out = out.reshape(b, hh, ww, c)
+    l = hh * ww
+    q, k, v = (t.reshape(b, l, c).astype(jnp.float32) for t in (q, k, v))
+    scale = c**-0.5
+
+    if l <= 4096:
+        logits = jnp.einsum("blc,bmc->blm", q, k) * scale
+        out = jnp.einsum("blm,bmc->blc", jax.nn.softmax(logits, axis=-1), v)
+    else:
+        chunk = 2048
+        assert l % chunk == 0
+
+        def one_chunk(q_chunk):
+            logits = jnp.einsum("bqc,bmc->bqm", q_chunk, k) * scale
+            return jnp.einsum("bqm,bmc->bqc", jax.nn.softmax(logits, axis=-1), v)
+
+        q_chunks = q.reshape(b, l // chunk, chunk, c).transpose(1, 0, 2, 3)
+        out = jax.lax.map(one_chunk, q_chunks)  # (n_chunks, b, chunk, c)
+        out = out.transpose(1, 0, 2, 3).reshape(b, l, c)
+
+    out = out.astype(x.dtype).reshape(b, hh, ww, c)
     return x + _conv(p["proj_out"], out)
 
 

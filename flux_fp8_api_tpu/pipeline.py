@@ -39,6 +39,7 @@ from .ops.schedule import get_schedule
 from .sampling import denoise, make_denoise_step
 from .utils.config import ModelSpec, ModelVersion, into_device, into_dtype, load_config_from_path
 from .utils.loader import load_models_from_config
+from .utils.logging import logger
 
 MAX_RAND = 2**32 - 1
 
@@ -308,6 +309,8 @@ class FluxPipeline:
         height = 16 * (height // 16)
         width = 16 * (width // 16)
         key, seed = self.set_seed(seed)
+        if not silent:
+            logger.info(f"Generating with:\nSeed: {seed}\nPrompt: {prompt}")
 
         img, timesteps = self.preprocess_latent(
             init_image=init_image,
