@@ -112,9 +112,12 @@ def random_quantized_flux(cfg: FluxStatic, key, kind="fp8"):
 
 
 def main():
+    # usage: bench.py [fp8|int8] [width] [height] [steps] — defaults mirror the
+    # reference's headline row (README.md:25: 1024x1024)
     kind = sys.argv[1] if len(sys.argv) > 1 else "fp8"
-    width = height = 1024
-    num_steps = 28
+    width = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
+    height = int(sys.argv[3]) if len(sys.argv) > 3 else 1024
+    num_steps = int(sys.argv[4]) if len(sys.argv) > 4 else 28
 
     params_cfg = FluxParams(
         in_channels=64, vec_in_dim=768, context_in_dim=4096, hidden_size=3072,
@@ -153,7 +156,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"denoise it/s @1024x1024 flux-dev {kind} bs=1 (28 steps, fused scan, TPU v5e)",
+                "metric": f"denoise it/s @{width}x{height} flux-dev {kind} bs=1 ({num_steps} steps, fused scan, TPU v5e)",
                 "value": round(its, 3),
                 "unit": "it/s",
                 "vs_baseline": round(its / BASELINE_ITS, 4),

@@ -250,18 +250,21 @@ def _blockwise_quantize(kernel: jnp.ndarray, bits: int):
 
 
 def _blockwise_dequantize(packed: jnp.ndarray, scale_inv: jnp.ndarray, bits: int, dtype):
+    """Unpack + scale staying in 8/16-bit intermediates: at T5-XXL sizes an int32/f32
+    staging copy of a (4096, 10240) kernel costs 168MB per buffer — enough to tip a
+    16GB chip that's also holding the 12GB flow model."""
     per_byte = 8 // bits
     qmax = 2 ** (bits - 1) - 1
     mask = jnp.uint8(2**bits - 1)
     in_packed, out_f = packed.shape
     parts = [
-        ((packed >> jnp.uint8(j * bits)) & mask).astype(jnp.int32) - qmax
+        ((packed >> jnp.uint8(j * bits)) & mask).astype(jnp.int8) - jnp.int8(qmax)
         for j in range(per_byte)
     ]
     q = jnp.stack(parts, axis=1).reshape(in_packed * per_byte, out_f)
     nblocks = scale_inv.shape[-2]
-    k32 = q.reshape(nblocks, -1, out_f).astype(jnp.float32) * scale_inv[..., :, None, :]
-    return k32.reshape(in_packed * per_byte, out_f).astype(dtype)
+    k16 = q.reshape(nblocks, -1, out_f).astype(dtype) * scale_inv[..., :, None, :].astype(dtype)
+    return k16.reshape(in_packed * per_byte, out_f)
 
 
 def quantize_linear_wo_int4(kernel: jnp.ndarray, bias) -> Linear:

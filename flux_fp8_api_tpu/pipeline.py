@@ -400,6 +400,22 @@ class FluxPipeline:
             self.model_params, self.model_cfg, self.loras, path_or_identifier
         )
 
+    def warmup(self, resolutions, num_steps: int = 4, prompt: str = "warmup"):
+        """Pre-compile the denoise/VAE buckets for a list of (width, height) pairs —
+        the AOT analog of torch dynamo's per-shape recompiles (reference caches via
+        dynamo config, flux_pipeline.py:27-28). Call before serving traffic."""
+        for width, height in resolutions:
+            self.generate(
+                prompt=prompt, width=width, height=height, num_steps=num_steps,
+                seed=0, silent=True,
+            )
+
+    def profile(self, log_dir: str):
+        """jax.profiler trace context for one or more generates (SURVEY.md §5 tracing
+        parity). Note: unsupported through the axon-tunneled dev TPU — works on
+        standard TPU-VM runtimes."""
+        return jax.profiler.trace(log_dir)
+
     # -------------------------------------------------------------------- checkpoints
 
     def save_prequantized(self, path: str):
