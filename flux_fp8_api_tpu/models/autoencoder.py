@@ -81,12 +81,11 @@ def _attn_block(p: Dict[str, Any], x: jnp.ndarray) -> jnp.ndarray:
     q, k, v = (t.reshape(b, l, c).astype(jnp.float32) for t in (q, k, v))
     scale = c**-0.5
 
-    if l <= 4096:
+    chunk = next((c for c in (2048, 1024, 1536, 512) if l % c == 0), None)
+    if l <= 4096 or chunk is None:
         logits = jnp.einsum("blc,bmc->blm", q, k) * scale
         out = jnp.einsum("blm,bmc->blc", jax.nn.softmax(logits, axis=-1), v)
     else:
-        chunk = 2048
-        assert l % chunk == 0
 
         def one_chunk(q_chunk):
             logits = jnp.einsum("bqc,bmc->bqm", q_chunk, k) * scale

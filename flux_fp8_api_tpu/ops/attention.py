@@ -71,20 +71,18 @@ def attention_core(
     b, l, n, h = q.shape
     sm_scale = 1.0 / (h**0.5)
     if use_pallas and jax.default_backend() == "tpu":
-        for bq, bkv in _QKNORM_BLOCKS:
-            if l % bq == 0 and l % bkv == 0:
-                from .attention_kernel import qknorm_attention
+        from .attention_kernel import qknorm_attention
 
-                # fold batch into heads: (B, L, N, H) → (B*N, L, H)
-                qh, kh, vh = (
-                    x.transpose(0, 2, 1, 3).reshape(b * n, l, h) for x in (q, k, v)
-                )
-                out = qknorm_attention(qh, kh, vh, sm_scale, block_q=bq, block_kv=bkv)
-                return out.reshape(b, n, l, h).transpose(0, 2, 1, 3).astype(q.dtype)
-        if l % 256 == 0:
-            qt, kt, vt = (x.transpose(0, 2, 1, 3) for x in (q, k, v))
-            out = _flash_fn(256, 512 if l % 512 == 0 else 256)(qt, kt, vt, sm_scale=sm_scale)
-            return out.transpose(0, 2, 1, 3).astype(q.dtype)
+        # best divisible block pair, else (512, 512) with in-kernel tail masking
+        bq, bkv = 512, 512
+        for cand in _QKNORM_BLOCKS:
+            if l % cand[0] == 0 and l % cand[1] == 0:
+                bq, bkv = cand
+                break
+        # fold batch into heads: (B, L, N, H) → (B*N, L, H)
+        qh, kh, vh = (x.transpose(0, 2, 1, 3).reshape(b * n, l, h) for x in (q, k, v))
+        out = qknorm_attention(qh, kh, vh, sm_scale, block_q=bq, block_kv=bkv)
+        return out.reshape(b, n, l, h).transpose(0, 2, 1, 3).astype(q.dtype)
     return _sdpa_xla(q, k, v)
 
 

@@ -34,7 +34,9 @@ from jax.experimental.pallas import tpu as pltpu
 SHIFT = 20.0
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, den_ref, *, sm_scale: float):
+def _attn_kernel(
+    q_ref, k_ref, v_ref, o_ref, acc_ref, den_ref, *, sm_scale: float, block_kv: int, valid_len: int
+):
     kv_idx = pl.program_id(2)
 
     @pl.when(kv_idx == 0)
@@ -49,11 +51,28 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, den_ref, *, sm_scale: floa
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
     p = jnp.exp(s * sm_scale - SHIFT)  # (bq, bkv) f32
-    den_ref[:] += jnp.sum(p, axis=1, keepdims=True)
-    acc_ref[:] += jax.lax.dot_general(
-        p.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+
+    def accumulate(p):
+        den_ref[:] += jnp.sum(p, axis=1, keepdims=True)
+        acc_ref[:] += jax.lax.dot_general(
+            p.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    if valid_len % block_kv != 0:
+        # non-block-aligned sequence: only the tail block pays the pad-column mask
+        tail_idx = valid_len // block_kv
+
+        @pl.when(kv_idx == tail_idx)
+        def _():
+            col = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1) + kv_idx * block_kv
+            accumulate(jnp.where(col < valid_len, p, 0.0))
+
+        @pl.when(kv_idx != tail_idx)
+        def _():
+            accumulate(p)
+    else:
+        accumulate(p)
 
     @pl.when(kv_idx == pl.num_programs(2) - 1)
     def _():
@@ -72,15 +91,24 @@ def qknorm_attention(
 ) -> jnp.ndarray:
     """(H, L, D) q/k/v → (H, L, D) attention output (single batch folded into heads).
 
-    Requires L % block_q == 0 and L % block_kv == 0 (FLUX sequence lengths — txt
-    256/512 + img (h/16)(w/16) — satisfy this for standard resolutions; callers fall
-    back to the generic path otherwise).
+    L that doesn't divide the blocks is zero-padded; the kernel masks the padded key
+    columns in the tail kv block (padded *query* rows produce garbage rows that are
+    sliced away — they never mix into valid outputs).
     """
     h, l, d = q.shape
-    assert l % block_q == 0 and l % block_kv == 0, (l, block_q, block_kv)
+    valid_len = l
+    pad = (-l) % max(block_q, block_kv)
+    if pad:
+        zeros = jnp.zeros((h, pad, d), q.dtype)
+        q = jnp.concatenate([q, zeros], axis=1)
+        k = jnp.concatenate([k, zeros], axis=1)
+        v = jnp.concatenate([v, zeros], axis=1)
+        l = l + pad
     grid = (h, l // block_q, l // block_kv)
-    kern = functools.partial(_attn_kernel, sm_scale=sm_scale)
-    return pl.pallas_call(
+    kern = functools.partial(
+        _attn_kernel, sm_scale=sm_scale, block_kv=block_kv, valid_len=valid_len
+    )
+    out = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
@@ -104,3 +132,4 @@ def qknorm_attention(
         ),
         interpret=interpret,
     )(q, k, v)
+    return out[:, :valid_len] if pad else out
