@@ -16,3 +16,13 @@ from .utils.config import (  # noqa: F401
     load_config,
     load_config_from_path,
 )
+
+
+def __getattr__(name):
+    # lazy: importing FluxPipeline pulls jax model code; keep bare `import
+    # flux_fp8_api_tpu` light for config-only consumers
+    if name == "FluxPipeline":
+        from .pipeline import FluxPipeline
+
+        return FluxPipeline
+    raise AttributeError(name)

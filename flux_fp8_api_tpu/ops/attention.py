@@ -31,22 +31,6 @@ def _sdpa_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     return jax.nn.dot_product_attention(q, k, v, implementation="xla").astype(dtype)
 
 
-@functools.lru_cache(maxsize=None)
-def _flash_fn(block_q: int, block_kv: int):
-    from jax.experimental.pallas.ops.tpu.flash_attention import (
-        BlockSizes,
-        flash_attention,
-    )
-
-    sizes = BlockSizes(
-        block_q=block_q,
-        block_k_major=block_kv,
-        block_k=block_kv,
-        block_b=1,
-    )
-    return functools.partial(flash_attention, causal=False, block_sizes=sizes)
-
-
 # (block_q, block_kv) preference order for the qk-norm kernel; picked by divisibility
 _QKNORM_BLOCKS = ((768, 1536), (512, 1024), (512, 512), (256, 512), (256, 256))
 
