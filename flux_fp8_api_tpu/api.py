@@ -11,7 +11,7 @@ from __future__ import annotations
 import platform
 import threading
 import time
-from typing import Any, Optional
+from typing import Optional
 
 import numpy as np
 

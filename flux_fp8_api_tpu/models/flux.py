@@ -24,7 +24,6 @@ Layout: sequences are (B, L, D); attention runs BTNH (see ops/attention.py).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Dict, Optional, Tuple
 
 import jax

@@ -12,8 +12,6 @@ Replaces the reference's RoPE + ``F.scaled_dot_product_attention`` pair
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

@@ -25,7 +25,6 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..models.flux import FluxStatic
 from ..ops.quant import Linear
 
 # stacked-block Linear leaves → ("col" | "row" | "rep")

@@ -12,13 +12,13 @@ compile and execute.
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
 
 from ..models.flux import FluxStatic, flux_apply
-from ..ops.packing import make_img_ids, make_txt_ids, pack_latents
+from ..ops.packing import make_img_ids, make_txt_ids
 
 
 def flow_matching_loss(

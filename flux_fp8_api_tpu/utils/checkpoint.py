@@ -26,7 +26,7 @@ import numpy as np
 from ..models.flux import FluxStatic, init_flux_params
 from ..ops.quant import Linear
 from ..ops.rope import deinterleave_permutation
-from ..utils.config import AutoEncoderParams, ModelSpec
+from ..utils.config import AutoEncoderParams
 from .safetensors_io import SafetensorsFile, save_safetensors
 
 # ------------------------------------------------------------------ flux (BFL format)
