@@ -44,8 +44,11 @@ class GenerateArgs(BaseModel):
     height: Optional[int] = Field(default=1024)
     num_steps: Optional[int] = Field(default=24)
     guidance: Optional[float] = Field(default=3.5)
+    # ge=0 (not the reference's gt=0, api.py:46): np.random.randint's low bound is
+    # inclusive, so the reference's own default factory can produce seed 0 and then
+    # reject it — a bug we don't reproduce.
     seed: Optional[int] = Field(
-        default_factory=lambda: np.random.randint(0, MAX_RAND), gt=0, lt=MAX_RAND
+        default_factory=lambda: np.random.randint(0, MAX_RAND), ge=0, lt=MAX_RAND
     )
     strength: Optional[float] = 1.0
     init_image: Optional[str] = None

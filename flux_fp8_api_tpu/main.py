@@ -5,7 +5,7 @@ from __future__ import annotations
 import argparse
 
 
-def parse_args():
+def parse_args(argv=None):
     parser = argparse.ArgumentParser(description="Launch Flux TPU API server")
     parser.add_argument("-c", "--config-path", type=str,
                         help="Path to a config JSON; if absent the model is built from the flags below")
@@ -24,22 +24,32 @@ def parse_args():
                         help="(deprecated, kept for reference-CLI parity)")
     parser.add_argument("-C", "--compile", action="store_true",
                         help="Warm up + AOT-compile the denoise step (the torch.compile analog)")
-    parser.add_argument("-qt", "--quant-text-enc", type=str, default="qfloat8",
+    parser.add_argument("-qT", "--quant-text-enc", type=str, default="qfloat8",
                         choices=["qint4", "qfloat8", "qint2", "qint8", "bf16"],
+                        dest="quant_text_enc",
                         help="Quantization tier for the T5 text encoder")
-    parser.add_argument("-qa", "--quant-ae", action="store_true",
+    parser.add_argument("-qA", "--quant-ae", action="store_true", dest="quant_ae",
                         help="Quantize the autoencoder with weight-only fp8")
-    parser.add_argument("-OF", "--offload-flow", action="store_true")
-    parser.add_argument("-OA", "--offload-ae", action="store_true")
-    parser.add_argument("-OT", "--offload-text-enc", action="store_true")
+    # offload semantics match the reference exactly (reference main.py:97-120):
+    # flow offload is opt-IN (-OF turns it on); ae/text-enc offload default ON and
+    # -OA/-OT are the *disable* switches.
+    parser.add_argument("-OF", "--offload-flow", action="store_true", default=False,
+                        dest="offload_flow",
+                        help="Offload the flow model to the host when not in use")
+    parser.add_argument("-OA", "--no-offload-ae", action="store_false", default=True,
+                        dest="offload_ae",
+                        help="Disable offloading the autoencoder to the host when not in use")
+    parser.add_argument("-OT", "--no-offload-text-enc", action="store_false", default=True,
+                        dest="offload_text_enc",
+                        help="Disable offloading the text encoder to the host when not in use")
     parser.add_argument("-PF", "--prequantized-flow", action="store_true",
                         help="Flow checkpoint already carries fp8 data + scales (skips calibration)")
-    parser.add_argument("-nqfm", "--no-quantize-modulation", dest="quantize_modulation",
-                        action="store_false",
+    parser.add_argument("-nqfm", "--no-quantize-flow-modulation", dest="quantize_modulation",
+                        action="store_false", default=True,
                         help="Keep modulation linears unquantized (~2GB more, better precision)")
     parser.add_argument("-qfl", "--quantize-flow-embedder-layers", action="store_true",
                         help="Also quantize img_in/txt_in/time_in/vector_in/guidance_in (~512MB less)")
-    return parser.parse_args()
+    return parser.parse_args(argv)
 
 
 def main():

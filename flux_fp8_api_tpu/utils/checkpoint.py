@@ -220,6 +220,17 @@ def is_prequantized_reference_file(path: str) -> bool:
     return any(k.endswith(".float8_data") for k in f.keys())
 
 
+def reference_prequant_has_input_scales(path: str) -> bool:
+    """True when every F8Linear in a reference-prequantized checkpoint also ships its
+    tuned ``input_scale``. The reference re-runs amax calibration when input scales are
+    absent (float8_quantize.py:154-185) — we mirror that by reporting the flow as
+    *not* prequantized so the pipeline's calibration pass runs."""
+    f = SafetensorsFile(path)
+    keys = set(f.keys())
+    f8_prefixes = [k[: -len(".float8_data")] for k in keys if k.endswith(".float8_data")]
+    return all(f"{p}.input_scale" in keys for p in f8_prefixes)
+
+
 # ----------------------------------------------------------------------- autoencoder
 
 

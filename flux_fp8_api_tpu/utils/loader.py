@@ -23,6 +23,7 @@ from ..utils.checkpoint import (
     load_ae_checkpoint,
     load_flux_checkpoint,
     load_prequantized,
+    reference_prequant_has_input_scales,
 )
 from ..utils.config import ModelSpec, QuantizationDtype, into_device, into_dtype
 from ..utils.safetensors_io import SafetensorsFile
@@ -69,10 +70,12 @@ def load_flow_model(config: ModelSpec, use_pallas: Optional[bool] = None):
         prequant_ref = is_prequantized_reference_file(config.ckpt_path)
         params = load_flux_checkpoint(config.ckpt_path, cfg)
         if prequant_ref:
-            # reference-style prequantized: fp8 leaves already built by the loader;
-            # input scales may or may not ship — treat as prequantized either way
-            # (float8_quantize.py:139-153)
-            return params, cfg, True
+            # reference-style prequantized: fp8 leaves already built by the loader.
+            # Tuned input scales shipped → fully prequantized (skip calibration);
+            # absent → the reference re-runs the amax trials
+            # (float8_quantize.py:139-185), so report not-prequantized and let the
+            # pipeline calibrate the fp8 leaves it got.
+            return params, cfg, reference_prequant_has_input_scales(config.ckpt_path)
     else:
         params = init_flux_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
     if not config.prequantized_flow and kind is not None:
@@ -193,10 +196,13 @@ def load_models_from_config(config: ModelSpec) -> LoadedModels:
     """reference util.py:325-333."""
     clip, t5 = load_text_encoders(config)
     flow, flow_cfg, prequant = load_flow_model(config)
+    # with a real checkpoint the loader's detection is authoritative (a reference
+    # prequantized file missing input_scale must NOT skip calibration even when the
+    # config claims prequantized_flow); without one, honor the config flag.
     return LoadedModels(
         flow=flow,
         flow_cfg=flow_cfg,
-        flow_prequantized=prequant or config.prequantized_flow,
+        flow_prequantized=prequant if config.ckpt_path else config.prequantized_flow,
         ae=load_autoencoder(config),
         clip=clip,
         t5=t5,

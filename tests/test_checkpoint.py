@@ -115,6 +115,170 @@ class TestFluxCheckpoint:
         assert not is_prequantized_reference_file(path)
 
 
+def _reference_prequant_checkpoint(path: str, seed=0, with_input_scales=True):
+    """Write the tiny flux as a *reference-style* prequantized checkpoint: the exact
+    F8Linear serialization (float8_quantize.py:91-193) — per quantized layer
+    ``float8_data`` (out,in) e4m3 + scalar ``scale``/``input_scale`` (+ reciprocals) +
+    a 1-element zero ``weight`` placeholder; unquantized layers keep float weights.
+
+    Returns the float state dict it was derived from (same RNG as
+    ``_synthetic_bfl_checkpoint`` so the two files hold the same model).
+    """
+    rng = np.random.RandomState(seed)
+    p = TINY_FLUX_PARAMS
+    hs, mh = p.hidden_size, int(p.hidden_size * p.mlp_ratio)
+    hd = hs // p.num_heads
+    sd = {}
+    float_sd = {}
+
+    def lin_float(name, inf, outf):
+        w = rng.randn(outf, inf).astype(np.float32) * 0.02
+        b = rng.randn(outf).astype(np.float32) * 0.01
+        float_sd[f"{name}.weight"], float_sd[f"{name}.bias"] = w, b
+        sd[f"{name}.weight"], sd[f"{name}.bias"] = w, b
+
+    def lin_f8(name, inf, outf):
+        w = rng.randn(outf, inf).astype(np.float32) * 0.02
+        b = rng.randn(outf).astype(np.float32) * 0.01
+        float_sd[f"{name}.weight"], float_sd[f"{name}.bias"] = w, b
+        # reference quantize_weight: amax → scale → saturated cast
+        # (float8_quantize.py:195-218); computed with jnp so the round-to-nearest
+        # matches the framework's own quantizer bit-for-bit
+        amax = np.abs(w).max()
+        scale = np.float32(min(448.0 / max(amax, 1e-12), 448.0))
+        f8 = np.asarray(jnp.clip(jnp.asarray(w) * scale, -448.0, 448.0).astype(jnp.float8_e4m3fn))
+        sd[f"{name}.float8_data"] = f8
+        sd[f"{name}.weight"] = np.zeros(1, np.float32)
+        sd[f"{name}.bias"] = b
+        sd[f"{name}.scale"] = scale.reshape(())
+        sd[f"{name}.scale_reciprocal"] = np.float32(1.0 / scale).reshape(())
+        if with_input_scales:
+            in_scale = np.float32(57344.0 / 3.0)  # a plausible tuned activation scale
+            sd[f"{name}.input_scale"] = in_scale.reshape(())
+            sd[f"{name}.input_scale_reciprocal"] = np.float32(1.0 / in_scale).reshape(())
+
+    lin_float("img_in", p.in_channels, hs)
+    lin_float("txt_in", p.context_in_dim, hs)
+    for e, ind in (("time_in", 256), ("vector_in", p.vec_in_dim), ("guidance_in", 256)):
+        lin_float(f"{e}.in_layer", ind, hs)
+        lin_float(f"{e}.out_layer", hs, hs)
+    for i in range(p.depth):
+        pre = f"double_blocks.{i}"
+        lin_f8(f"{pre}.img_mod.lin", hs, 6 * hs)
+        lin_f8(f"{pre}.txt_mod.lin", hs, 6 * hs)
+        lin_f8(f"{pre}.img_attn.qkv", hs, 3 * hs)
+        lin_f8(f"{pre}.img_attn.proj", hs, hs)
+        lin_f8(f"{pre}.txt_attn.qkv", hs, 3 * hs)
+        lin_f8(f"{pre}.txt_attn.proj", hs, hs)
+        lin_f8(f"{pre}.img_mlp.0", hs, mh)
+        lin_f8(f"{pre}.img_mlp.2", mh, hs)
+        lin_f8(f"{pre}.txt_mlp.0", hs, mh)
+        lin_f8(f"{pre}.txt_mlp.2", mh, hs)
+        for s in ("img_attn", "txt_attn"):
+            for nk in ("query_norm", "key_norm"):
+                sd[f"{pre}.{s}.norm.{nk}.scale"] = np.ones(hd, np.float32)
+                float_sd[f"{pre}.{s}.norm.{nk}.scale"] = np.ones(hd, np.float32)
+    for i in range(p.depth_single_blocks):
+        pre = f"single_blocks.{i}"
+        lin_f8(f"{pre}.linear1", hs, 3 * hs + mh)
+        lin_f8(f"{pre}.linear2", hs + mh, hs)
+        lin_f8(f"{pre}.modulation.lin", hs, 3 * hs)
+        for nk in ("query_norm", "key_norm"):
+            sd[f"{pre}.norm.{nk}.scale"] = np.ones(hd, np.float32)
+            float_sd[f"{pre}.norm.{nk}.scale"] = np.ones(hd, np.float32)
+    lin_float("final_layer.linear", hs, p.in_channels)
+    lin_float("final_layer.adaLN_modulation.1", hs, 2 * hs)
+    save_safetensors(path, sd)
+    return float_sd
+
+
+class TestReferencePrequantized:
+    """Loading checkpoints saved by the *reference* (float8_data/scale/input_scale keys,
+    float8_quantize.py:91-193) — the second half of its dual load path."""
+
+    def _load(self, tmp_path, with_input_scales=True):
+        path = str(tmp_path / "ref_prequant.safetensors")
+        float_sd = _reference_prequant_checkpoint(path, with_input_scales=with_input_scales)
+        cfg = FluxStatic.from_params(TINY_FLUX_PARAMS, use_pallas=False)
+        return path, float_sd, cfg
+
+    def test_detected(self, tmp_path):
+        path, _, _ = self._load(tmp_path)
+        assert is_prequantized_reference_file(path)
+
+    def test_fp8_leaves_and_scales(self, tmp_path):
+        path, _, cfg = self._load(tmp_path)
+        tree = load_flux_checkpoint(path, cfg)
+        qkv = tree["double_blocks"]["img_attn_qkv"]
+        assert qkv.kind == "fp8"
+        assert qkv.q.dtype == jnp.float8_e4m3fn
+        assert qkv.q.shape == (TINY_FLUX_PARAMS.depth, 64, 192)
+        np.testing.assert_allclose(np.asarray(qkv.in_scale), 57344.0 / 3.0, rtol=1e-6)
+        # embedders/final layer stay float
+        assert tree["img_in"].kind == "float"
+        assert tree["final_layer"]["linear"].kind == "float"
+
+    def test_bit_identical_to_quantize_on_load(self, tmp_path):
+        """float8_data written by the reference must load to the same bytes the
+        framework produces when quantizing the same float checkpoint itself — the
+        permutation the loader applies commutes with elementwise quantization."""
+        path, float_sd, cfg = self._load(tmp_path)
+        fpath = str(tmp_path / "float.safetensors")
+        save_safetensors(fpath, float_sd)
+
+        tree_pre = load_flux_checkpoint(path, cfg)
+        tree_q = quantize_flux_tree(load_flux_checkpoint(fpath, cfg, dtype=jnp.float32))
+
+        for stack in ("double_blocks", "single_blocks"):
+            for k, leaf in tree_pre[stack].items():
+                if not hasattr(leaf, "kind") or leaf.kind != "fp8":
+                    continue
+                np.testing.assert_array_equal(
+                    np.asarray(leaf.q).view(np.uint8),
+                    np.asarray(tree_q[stack][k].q).view(np.uint8),
+                    err_msg=f"{stack}.{k} float8_data mismatch",
+                )
+                np.testing.assert_allclose(
+                    np.asarray(leaf.w_scale), np.asarray(tree_q[stack][k].w_scale), rtol=1e-6
+                )
+
+    def test_forward_finite(self, tmp_path):
+        path, _, cfg = self._load(tmp_path)
+        tree = load_flux_checkpoint(path, cfg)
+        out = flux_apply(tree, cfg, **tiny_inputs())
+        assert bool(jnp.all(jnp.isfinite(out.astype(jnp.float32))))
+
+    def test_with_scales_skips_calibration(self, tmp_path):
+        from flux_fp8_api_tpu.utils.loader import load_flow_model
+
+        from .helpers import tiny_spec
+
+        path, _, _ = self._load(tmp_path, with_input_scales=True)
+        spec = tiny_spec(ckpt_path=path, prequantized_flow=True)
+        _, _, prequant = load_flow_model(spec)
+        assert prequant is True
+
+    def test_missing_input_scale_recalibrates(self, tmp_path):
+        """No input_scale in the file → the reference resets its amax trials
+        (float8_quantize.py:154-185); we must report not-prequantized so the
+        pipeline's calibration pass runs."""
+        from flux_fp8_api_tpu.utils.checkpoint import reference_prequant_has_input_scales
+        from flux_fp8_api_tpu.utils.loader import load_flow_model
+
+        from .helpers import tiny_spec
+
+        path, _, _ = self._load(tmp_path, with_input_scales=False)
+        assert not reference_prequant_has_input_scales(path)
+        spec = tiny_spec(ckpt_path=path, prequantized_flow=True)
+        params, _, prequant = load_flow_model(spec)
+        assert prequant is False
+        # leaves are still fp8 (no requantization), just uncalibrated
+        assert params["double_blocks"]["img_attn_qkv"].kind == "fp8"
+        np.testing.assert_array_equal(
+            np.asarray(params["double_blocks"]["img_attn_qkv"].in_scale), 1.0
+        )
+
+
 class TestPrequantized:
     def test_save_load_roundtrip(self, tmp_path):
         cfg, params = tiny_flux()

@@ -59,6 +59,16 @@ class TestServer:
         im = Image.open(p)
         assert im.size == (64, 64)
 
+    def test_generate_seed_zero_ok(self, server):
+        """Seed 0 is a legal seed (the reference's gt=0 validator rejects its own
+        randint(0, MAX_RAND) default — a bug we don't reproduce, api.py:46)."""
+        status, ctype, payload = _post(
+            "/generate",
+            {"prompt": "a cat", "width": 64, "height": 64, "num_steps": 1, "seed": 0},
+        )
+        assert status == 200
+        assert ctype == "image/jpeg"
+
     def test_generate_missing_prompt_400(self, server):
         status, ctype, payload = _post("/generate", {"width": 64})
         assert status == 400
