@@ -15,9 +15,13 @@ with a constant SHIFT (any constant cancels in the normalization — it only con
 the magnitude range). No running max, no accumulator rescaling: one exp + one add per
 logit of VPU work, the rest is MXU.
 
-Guard rail: the kernel also tracks ``max |logit|`` and the wrapper exposes it; the
-model asserts finiteness of outputs in tests. For non-qk-normed use cases, fall back
-to ``ops.attention.attention_core``.
+Guard rail: the max-free trick is only safe while qk-norm keeps |logit| below
+``MAX_SAFE_LOGIT`` (exp(100 − SHIFT) is still finite in f32; beyond that exp overflows
+to inf and the output goes NaN with no diagnostic). A stats build of the kernel tracks
+``max |logit|`` per (head, q-block) and :func:`qknorm_attention_checked` raises loudly
+when the bound is exceeded — use it after events that can inflate the qk-norm scales
+(LoRA fuse, unusual checkpoints). The serving kernel stays max-free (zero extra VPU
+work). For non-qk-normed use cases, fall back to ``ops.attention.attention_core``.
 """
 
 from __future__ import annotations
@@ -33,16 +37,26 @@ from jax.experimental.pallas import tpu as pltpu
 # while the normalization cancels the constant exactly.
 SHIFT = 20.0
 
+# f32 exp overflows past ~88; with SHIFT subtracted first, |logit| ≤ 100 leaves an
+# 8-unit margin. Checked wrappers raise above this.
+MAX_SAFE_LOGIT = 100.0
+
 
 def _attn_kernel(
-    q_ref, k_ref, v_ref, o_ref, acc_ref, den_ref, *, sm_scale: float, block_kv: int, valid_len: int
+    q_ref, k_ref, v_ref, o_ref, *rest, sm_scale: float, block_kv: int, valid_len: int,
+    track_max: bool = False,
 ):
+    # rest = (m_ref, acc_ref, den_ref) in the stats build, (acc_ref, den_ref) otherwise
+    m_ref = rest[0] if track_max else None
+    acc_ref, den_ref = rest[-2], rest[-1]
     kv_idx = pl.program_id(2)
 
     @pl.when(kv_idx == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
         den_ref[:] = jnp.zeros_like(den_ref)
+        if track_max:
+            m_ref[:] = jnp.zeros_like(m_ref)
 
     q = q_ref[0]  # (bq, d)
     k = k_ref[0]  # (bkv, d)
@@ -50,6 +64,12 @@ def _attn_kernel(
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
+    if track_max:
+        # max |logit| over this (q-block, kv-block) tile; pad columns contribute 0.
+        # Broadcast into a full (8, 128) register tile — Mosaic VMEM blocks must tile
+        # (8, 128); the wrapper reduces it back to one scalar.
+        mval = jnp.max(jnp.abs(s)) * abs(sm_scale)
+        m_ref[0, 0] = jnp.maximum(m_ref[0, 0], jnp.full((8, 128), mval, jnp.float32))
     p = jnp.exp(s * sm_scale - SHIFT)  # (bq, bkv) f32
 
     def accumulate(p):
@@ -79,7 +99,10 @@ def _attn_kernel(
         o_ref[0] = (acc_ref[:] / den_ref[:]).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("sm_scale", "block_q", "block_kv", "interpret"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("sm_scale", "block_q", "block_kv", "interpret", "return_max_logit"),
+)
 def qknorm_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -88,12 +111,17 @@ def qknorm_attention(
     block_q: int = 512,
     block_kv: int = 1024,
     interpret: bool = False,
+    return_max_logit: bool = False,
 ) -> jnp.ndarray:
     """(H, L, D) q/k/v → (H, L, D) attention output (single batch folded into heads).
 
     L that doesn't divide the blocks is zero-padded; the kernel masks the padded key
     columns in the tail kv block (padded *query* rows produce garbage rows that are
     sliced away — they never mix into valid outputs).
+
+    ``return_max_logit=True`` selects the stats build, which additionally returns the
+    scalar ``max |q·k·sm_scale|`` over the whole attention — the guard-rail input for
+    :func:`qknorm_attention_checked`. The serving build carries no tracking cost.
     """
     h, l, d = q.shape
     valid_len = l
@@ -106,9 +134,24 @@ def qknorm_attention(
         l = l + pad
     grid = (h, l // block_q, l // block_kv)
     kern = functools.partial(
-        _attn_kernel, sm_scale=sm_scale, block_kv=block_kv, valid_len=valid_len
+        _attn_kernel,
+        sm_scale=sm_scale,
+        block_kv=block_kv,
+        valid_len=valid_len,
+        track_max=return_max_logit,
     )
-    out = pl.pallas_call(
+    out_shape = [jax.ShapeDtypeStruct((h, l, d), q.dtype)]
+    out_specs = [
+        pl.BlockSpec((1, block_q, d), lambda h, i, j: (h, i, 0), memory_space=pltpu.VMEM)
+    ]
+    if return_max_logit:
+        # stats ride a full (8, 128) VMEM tile per (head, q-block) — Mosaic's minimum
+        # f32 tile; ~4KB/head of waste, reduced to one scalar by the wrapper
+        out_shape.append(jax.ShapeDtypeStruct((h, l // block_q, 8, 128), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((1, 1, 8, 128), lambda h, i, j: (h, i, 0, 0), memory_space=pltpu.VMEM)
+        )
+    res = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
@@ -116,8 +159,8 @@ def qknorm_attention(
             pl.BlockSpec((1, block_kv, d), lambda h, i, j: (h, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_kv, d), lambda h, i, j: (h, j, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda h, i, j: (h, i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((h, l, d), q.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((block_q, d), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
@@ -132,4 +175,40 @@ def qknorm_attention(
         ),
         interpret=interpret,
     )(q, k, v)
+    if return_max_logit:
+        out, m = res
+        out = out[:, :valid_len] if pad else out
+        return out, jnp.max(m)
+    out = res[0]
     return out[:, :valid_len] if pad else out
+
+
+def qknorm_attention_checked(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    sm_scale: float,
+    block_q: int = 512,
+    block_kv: int = 1024,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Guard-railed wrapper: runs the stats build and raises ``FloatingPointError``
+    when ``max |logit|`` exceeds ``MAX_SAFE_LOGIT`` (the regime where the max-free
+    softmax would overflow exp to inf → NaN images with no diagnostic).
+
+    This fetches a scalar per call (host sync), so it is for validation moments —
+    after a LoRA fuse or loading an unusual checkpoint — not the serving hot loop.
+    """
+    out, m = qknorm_attention(
+        q, k, v, sm_scale,
+        block_q=block_q, block_kv=block_kv, interpret=interpret, return_max_logit=True,
+    )
+    m_val = float(m)
+    if not (m_val <= MAX_SAFE_LOGIT):
+        raise FloatingPointError(
+            f"qk-norm attention logits reached |{m_val:.1f}| > safe bound "
+            f"{MAX_SAFE_LOGIT}: the max-free softmax would overflow. Check qk-norm "
+            "scale weights (LoRA fuse / checkpoint), or fall back to "
+            "ops.attention.attention_core."
+        )
+    return out

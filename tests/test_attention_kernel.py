@@ -4,8 +4,13 @@ on CPU; the compiled kernel runs in the TPU benchmarks)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
-from flux_fp8_api_tpu.ops.attention_kernel import qknorm_attention
+from flux_fp8_api_tpu.ops.attention_kernel import (
+    MAX_SAFE_LOGIT,
+    qknorm_attention,
+    qknorm_attention_checked,
+)
 
 
 def _naive(q, k, v, scale):
@@ -59,3 +64,56 @@ class TestQKNormAttention:
         assert bool(jnp.all(jnp.isfinite(out)))
         rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
         assert rel < 5e-3, rel
+
+
+class TestMaxLogitGuard:
+    """The guard rail for the max-free softmax: qk-norm bounds |logit|, but LoRA fuses
+    or unusual checkpoints can inflate the norm scales past exp's f32 range — the
+    stats build must expose that instead of silently producing NaN images."""
+
+    def _qkv(self, amp=1.0, h=1, l=256, d=32, key=3):
+        ks = jax.random.split(jax.random.PRNGKey(key), 3)
+        q = _normed(ks[0], (h, l, d)) * amp
+        k = _normed(ks[1], (h, l, d)) * amp
+        v = jax.random.normal(ks[2], (h, l, d), jnp.float32)
+        return q, k, v
+
+    def test_stats_build_matches_serving_build(self):
+        q, k, v = self._qkv()
+        scale = 32**-0.5
+        out_plain = qknorm_attention(q, k, v, scale, block_q=128, block_kv=128, interpret=True)
+        out_stats, m = qknorm_attention(
+            q, k, v, scale, block_q=128, block_kv=128, interpret=True, return_max_logit=True
+        )
+        np.testing.assert_array_equal(np.asarray(out_plain), np.asarray(out_stats))
+        # reported max must equal the actual max |q·k|·scale
+        s = jnp.einsum("hld,hmd->hlm", q, k) * scale
+        np.testing.assert_allclose(float(m), float(jnp.max(jnp.abs(s))), rtol=1e-5)
+
+    def test_max_logit_tracks_tail_padding(self):
+        # non-block-aligned length: pad columns are zeros and must not affect the max
+        q, k, v = self._qkv(l=200)
+        scale = 32**-0.5
+        _, m = qknorm_attention(
+            q, k, v, scale, block_q=128, block_kv=128, interpret=True, return_max_logit=True
+        )
+        s = jnp.einsum("hld,hmd->hlm", q, k) * scale
+        np.testing.assert_allclose(float(m), float(jnp.max(jnp.abs(s))), rtol=1e-5)
+
+    def test_checked_passes_for_qknormed_inputs(self):
+        q, k, v = self._qkv()
+        out = qknorm_attention_checked(q, k, v, 32**-0.5, block_q=128, block_kv=128, interpret=True)
+        assert bool(jnp.all(jnp.isfinite(out)))
+
+    def test_checked_raises_on_adversarial_scales(self):
+        # simulate qk-norm scale weights inflated by a pathological LoRA fuse: |q|,|k|
+        # grow ~60×, logits ≈ 60²·√d·scale ≫ MAX_SAFE_LOGIT
+        q, k, v = self._qkv(amp=60.0)
+        with pytest.raises(FloatingPointError, match="safe bound"):
+            qknorm_attention_checked(q, k, v, 32**-0.5, block_q=128, block_kv=128, interpret=True)
+        # and the unchecked serving build would indeed have overflowed — the guard is
+        # detecting a real failure mode, not a false alarm
+        _, m = qknorm_attention(
+            q, k, v, 32**-0.5, block_q=128, block_kv=128, interpret=True, return_max_logit=True
+        )
+        assert float(m) > MAX_SAFE_LOGIT
