@@ -1,121 +1,170 @@
-"""Gradio demo UI (reference ``main_gr.py:1-132``): same controls and layout.
+"""Gradio front-end for the TPU pipeline.
+
+Covers the reference's UI capability surface (prompt box, img2img with noising
+strength, resolution/steps/guidance/seed controls, optional metadata embedding,
+used-seed readback — reference ``main_gr.py:1-132``) with this framework's own
+layout: two task tabs (text-to-image / image-to-image) instead of a visibility-
+toggled checkbox, resolution presets next to the sliders, and a settings readback
+panel so every generation is reproducible.
 
 gradio isn't baked into the TPU image — the import is gated with a clear message
-(the FastAPI server in main.py is the always-available front-end).
+(the stdlib/FastAPI server in main.py is the always-available front-end).
 """
 
 from __future__ import annotations
 
-from PIL import Image
+import json
+from typing import Optional
 
-from .pipeline import FluxPipeline
+from PIL import Image
 
 try:
     import gradio as gr
 except ImportError:  # pragma: no cover
     gr = None
 
+RESOLUTION_PRESETS = {
+    "square 1024 (1:1)": (1024, 1024),
+    "portrait 832×1216 (2:3)": (832, 1216),
+    "landscape 1216×832 (3:2)": (1216, 832),
+    "wide 1344×768 (16:9)": (1344, 768),
+    "custom": None,
+}
 
-def create_demo(config_path: str):
+_STEP_LIMITS = (1, 50)
+_SIZE_LIMITS = (128, 4096)  # multiples of 16 enforced by the pipeline
+
+
+def resolve_seed(raw) -> Optional[int]:
+    """UI seed field → pipeline seed: blank/-1 mean 'pick one for me'."""
+    if raw is None:
+        return None
+    text = str(raw).strip()
+    if text in ("", "-1"):
+        return None
+    try:
+        return int(text)
+    except ValueError:
+        return None  # garbage input falls back to a random seed, like the API
+
+
+def settings_record(prompt, width, height, steps, guidance, seed, strength=None) -> dict:
+    """The reproducibility record shown in the UI and embedded as image metadata."""
+    rec = {
+        "prompt": prompt,
+        "width": int(width),
+        "height": int(height),
+        "num_steps": int(steps),
+        "guidance": float(guidance),
+        "seed": int(seed),
+    }
+    if strength is not None:
+        rec["strength"] = float(strength)
+    return rec
+
+
+def attach_metadata(image: Image.Image, record: dict) -> Image.Image:
+    """Stamp the generation settings into the PIL image's info dict (saved as PNG
+    text chunks / JPEG comment by PIL on export)."""
+    image.info["parameters"] = json.dumps(record)
+    return image
+
+
+def build_ui(pipeline):
+    """Assemble the Blocks app around an already-loaded FluxPipeline."""
     if gr is None:
         raise ImportError(
-            "gradio is not installed in this environment; use the FastAPI server "
+            "gradio is not installed in this environment; use the HTTP server "
             "(python -m flux_fp8_api_tpu.main) instead, or pip install gradio."
         )
-    generator = FluxPipeline.load_pipeline_from_config_path(config_path)
 
-    def generate_image(
-        prompt,
-        width,
-        height,
-        num_steps,
-        guidance,
-        seed,
-        init_image,
-        image2image_strength,
-        add_sampling_metadata,
-    ):
-        seed = int(seed)
-        if seed == -1:
-            seed = None
-        image_bytes, used_seed = generator.generate(
-            prompt,
-            width=width,
-            height=height,
-            num_steps=num_steps,
-            guidance=guidance,
-            seed=seed,
-            init_image=init_image,
-            strength=image2image_strength,
-            silent=False,
-            num_images=1,
+    schnell = str(pipeline.config.version) == "flux-schnell"
+    default_steps = 4 if schnell else 28
+
+    def run(prompt, preset, width, height, steps, guidance, seed_text, embed_meta,
+            source_image=None, strength=0.75):
+        if RESOLUTION_PRESETS.get(preset):
+            width, height = RESOLUTION_PRESETS[preset]
+        jpeg, used_seed = pipeline.generate(
+            prompt=prompt,
+            width=int(width),
+            height=int(height),
+            num_steps=int(steps),
+            guidance=float(guidance),
+            seed=resolve_seed(seed_text),
+            init_image=source_image,
+            strength=float(strength),
+            silent=True,
             return_seed=True,
         )
-        return Image.open(image_bytes), str(used_seed), None
-
-    is_schnell = str(generator.config.version) == "flux-schnell"
-
-    with gr.Blocks() as demo:
-        gr.Markdown(f"# Flux Image Generation Demo - Model: {generator.config.version}")
-        with gr.Row():
-            with gr.Column():
-                prompt = gr.Textbox(
-                    label="Prompt",
-                    value=(
-                        'a photo of a forest with mist swirling around the tree trunks. '
-                        'The word "FLUX" is painted over it in big, red brush strokes '
-                        "with visible texture"
-                    ),
-                )
-                do_img2img = gr.Checkbox(
-                    label="Image to Image", value=False, interactive=not is_schnell
-                )
-                init_image = gr.Image(label="Input Image", visible=False)
-                image2image_strength = gr.Slider(
-                    0.0, 1.0, 0.8, step=0.1, label="Noising strength", visible=False
-                )
-                with gr.Accordion("Advanced Options", open=False):
-                    width = gr.Slider(128, 8192, 1152, step=16, label="Width")
-                    height = gr.Slider(128, 8192, 640, step=16, label="Height")
-                    num_steps = gr.Slider(
-                        1, 50, 4 if is_schnell else 20, step=1, label="Number of steps"
-                    )
-                    guidance = gr.Slider(
-                        1.0, 10.0, 3.5, step=0.1, label="Guidance", interactive=not is_schnell
-                    )
-                    seed = gr.Textbox(-1, label="Seed (-1 for random)")
-                    add_sampling_metadata = gr.Checkbox(
-                        label="Add sampling parameters to metadata?", value=True
-                    )
-                generate_btn = gr.Button("Generate")
-            with gr.Column(min_width="960px"):
-                output_image = gr.Image(label="Generated Image")
-                seed_output = gr.Number(label="Used Seed")
-                warning_text = gr.Textbox(label="Warning", visible=False)
-
-        def update_img2img(do_img2img):
-            return {
-                init_image: gr.update(visible=do_img2img),
-                image2image_strength: gr.update(visible=do_img2img),
-            }
-
-        do_img2img.change(update_img2img, do_img2img, [init_image, image2image_strength])
-        generate_btn.click(
-            fn=generate_image,
-            inputs=[
-                prompt, width, height, num_steps, guidance, seed,
-                init_image, image2image_strength, add_sampling_metadata,
-            ],
-            outputs=[output_image, seed_output, warning_text],
+        img = Image.open(jpeg)
+        rec = settings_record(
+            prompt, width, height, steps, guidance, used_seed,
+            strength if source_image is not None else None,
         )
-    return demo
+        if embed_meta:
+            img = attach_metadata(img, rec)
+        return img, json.dumps(rec, indent=2)
+
+    def shared_controls():
+        preset = gr.Dropdown(
+            list(RESOLUTION_PRESETS), value="square 1024 (1:1)", label="Resolution"
+        )
+        with gr.Row():
+            width = gr.Slider(*_SIZE_LIMITS, value=1024, step=16, label="Width (custom)")
+            height = gr.Slider(*_SIZE_LIMITS, value=1024, step=16, label="Height (custom)")
+        steps = gr.Slider(*_STEP_LIMITS, value=default_steps, step=1, label="Denoise steps",
+                          interactive=not schnell)
+        guidance = gr.Slider(1.0, 10.0, value=3.5, step=0.1, label="Guidance scale",
+                             interactive=not schnell)
+        seed_text = gr.Textbox(value="", label="Seed (blank or -1 = random)")
+        embed_meta = gr.Checkbox(value=True, label="Embed settings in image metadata")
+        return preset, width, height, steps, guidance, seed_text, embed_meta
+
+    with gr.Blocks(title="flux-fp8-api-tpu") as app:
+        gr.Markdown(
+            f"## flux-fp8-api-tpu — {pipeline.config.version} on "
+            f"{pipeline.device_flux.platform}"
+        )
+        with gr.Tab("Text to image"):
+            t_prompt = gr.Textbox(label="Prompt", lines=3,
+                                  placeholder="describe the image to generate…")
+            t_ctl = shared_controls()
+            t_go = gr.Button("Generate", variant="primary")
+            t_img = gr.Image(label="Result")
+            t_rec = gr.Code(label="Generation settings", language="json")
+            t_go.click(run, inputs=[t_prompt, *t_ctl], outputs=[t_img, t_rec])
+
+        with gr.Tab("Image to image", interactive=not schnell):
+            i_prompt = gr.Textbox(label="Prompt", lines=3)
+            i_source = gr.Image(label="Source image", type="numpy")
+            i_strength = gr.Slider(0.0, 1.0, value=0.75, step=0.05,
+                                   label="Noising strength (1 = ignore source)")
+            i_ctl = shared_controls()
+            i_go = gr.Button("Generate from image", variant="primary")
+            i_img = gr.Image(label="Result")
+            i_rec = gr.Code(label="Generation settings", language="json")
+            i_go.click(run, inputs=[i_prompt, *i_ctl, i_source, i_strength],
+                       outputs=[i_img, i_rec])
+    return app
+
+
+def create_demo(config_path: str):
+    """Load the pipeline from a config JSON and return the Blocks app."""
+    from .pipeline import FluxPipeline
+
+    return build_ui(FluxPipeline.load_pipeline_from_config_path(config_path))
+
+
+def main(argv=None):
+    import argparse
+
+    parser = argparse.ArgumentParser(description="flux-fp8-api-tpu Gradio UI")
+    parser.add_argument("--config", type=str, default="configs/config-dev.json")
+    parser.add_argument("--share", action="store_true", help="Expose a public link")
+    args = parser.parse_args(argv)
+    create_demo(args.config).launch(share=args.share)
 
 
 if __name__ == "__main__":
-    import argparse
-
-    parser = argparse.ArgumentParser(description="Flux")
-    parser.add_argument("--config", type=str, default="configs/config-dev.json", help="Config file path")
-    parser.add_argument("--share", action="store_true", help="Create a public link to your demo")
-    args = parser.parse_args()
-    create_demo(args.config).launch(share=args.share)
+    main()
