@@ -19,6 +19,7 @@ Same public surface as the reference — ``load_pipeline_from_config_path`` /
 from __future__ import annotations
 
 import base64
+import dataclasses
 import io
 import math
 import time
@@ -27,6 +28,7 @@ from typing import Any, Dict, List, Optional, Union
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec
 from PIL import Image
 
 from .calibration import apply_input_scales, merge_amax
@@ -86,8 +88,28 @@ class FluxPipeline:
         self.offload_flow = config.offload_flow
 
         self._host = jax.devices("cpu")[0]
-        self.model_params = jax.device_put(
-            model, self._host if self.offload_flow else self.device_flux
+
+        # multi-chip serving: config.mesh (e.g. {"dp": 1, "tp": 4}) builds a device
+        # mesh; flow params get Megatron-style GSPMD shardings (parallel/mesh.py) and
+        # the jitted denoise partitions across chips with XLA inserting the ICI
+        # collectives. The reference's only analog is coarse per-model GPU placement
+        # (util.py:51-53) — this is the TPU-native expansion (SURVEY.md §2.2).
+        self.mesh = None
+        if config.mesh:
+            from .parallel.mesh import make_mesh
+
+            self.mesh = make_mesh(dict(config.mesh))
+            if dict(config.mesh).get("tp", 1) > 1 and self.model_cfg is not None and self.model_cfg.use_pallas:
+                # the hand-written Pallas attention kernel has no GSPMD partition
+                # rule; under tensor parallelism XLA's per-head attention partitions
+                # cleanly instead (heads divide tp)
+                self.model_cfg = dataclasses.replace(self.model_cfg, use_pallas=False)
+                logger.info("mesh tp>1: using XLA attention (Pallas kernel is single-chip)")
+
+        self.model_params = (
+            jax.device_put(model, self._host)
+            if self.offload_flow
+            else self._place_flow(model)
         )
         self.ae_params = jax.device_put(
             ae, self._host if self.offload_vae else self.device_ae
@@ -114,6 +136,28 @@ class FluxPipeline:
 
         if config.compile_blocks or config.compile_extras:
             self.compile()
+
+    # ---------------------------------------------------------------------- placement
+
+    def _place_flow(self, params):
+        """Flow params → their serving placement: GSPMD-sharded over the mesh when one
+        is configured, else the single flux device."""
+        if self.mesh is None:
+            return jax.device_put(params, self.device_flux)
+        from .parallel.mesh import shard_flux_params
+
+        return shard_flux_params(params, self.mesh)
+
+    def _put_flow_input(self, x, batch_sharded: bool = True):
+        """Activations → flux device, or onto the mesh (batch over dp when it
+        divides; replicated otherwise — tp sharding of the features is induced by
+        the param shardings inside jit)."""
+        if self.mesh is None:
+            return jax.device_put(x, self.device_flux)
+        dp = self.mesh.shape.get("dp", 1)
+        if batch_sharded and dp > 1 and x.shape[0] % dp == 0:
+            return jax.device_put(x, NamedSharding(self.mesh, PartitionSpec("dp")))
+        return jax.device_put(x, NamedSharding(self.mesh, PartitionSpec()))
 
     # ------------------------------------------------------------------------- state
 
@@ -253,8 +297,8 @@ class FluxPipeline:
             self.clip.to_host()
             self.t5.to_host()
         txt_ids = make_txt_ids(txt.shape[1], bs)
-        vec = jax.device_put(vec.astype(self.dtype), self.device_flux)
-        txt = jax.device_put(txt.astype(self.dtype), self.device_flux)
+        vec = self._put_flow_input(vec.astype(self.dtype))
+        txt = self._put_flow_input(txt.astype(self.dtype))
         return packed, img_ids, vec, txt, txt_ids
 
     # -------------------------------------------------------------------- calibration
@@ -322,10 +366,10 @@ class FluxPipeline:
             num_images=num_images,
         )
         img, img_ids, vec, txt, txt_ids = self.prepare(img, prompt)
-        img = jax.device_put(img, self.device_flux)
+        img = self._put_flow_input(img)
 
         if self.offload_flow:
-            self.model_params = jax.device_put(self.model_params, self.device_flux)
+            self.model_params = self._place_flow(self.model_params)
 
         t_denoise = time.perf_counter()
         if self._needs_calibration:
@@ -403,7 +447,8 @@ class FluxPipeline:
     def warmup(self, resolutions, num_steps: int = 4, prompt: str = "warmup"):
         """Pre-compile the denoise/VAE buckets for a list of (width, height) pairs —
         the AOT analog of torch dynamo's per-shape recompiles (reference caches via
-        dynamo config, flux_pipeline.py:27-28). Call before serving traffic."""
+        dynamo config, flux_pipeline.py:27-28). Called by :meth:`compile`; safe to
+        call again for additional buckets before serving traffic."""
         for width, height in resolutions:
             self.generate(
                 prompt=prompt, width=width, height=height, num_steps=num_steps,
@@ -448,11 +493,19 @@ class FluxPipeline:
     # ------------------------------------------------------------------------ compile
 
     def compile(self):
-        """Warmup + calibration + AOT compile (reference flux_pipeline.py:179-231).
+        """Calibration + serving-bucket AOT compile (reference flux_pipeline.py:179-231).
 
-        Runs the reference's warmup recipe — 768×768, 12 steps (dev) or 3×4 steps
-        (schnell) — which (a) drives the amax trials to freeze fp8 input scales and
-        (b) populates the jit cache for the fused denoise kernel.
+        Two phases, mirroring the reference's ``compile()``:
+
+        1. if input scales are uncalibrated, run the reference's warmup recipe —
+           768×768, 12 steps (dev) or 3×4 steps (schnell) — driving the amax trials
+           until the fp8/int8 input scales freeze;
+        2. precompile the *serving* buckets: one fused-scan generate per
+           ``config.warmup_resolutions`` entry at ``config.warmup_steps`` (defaults:
+           720×1024 — the API's GenerateArgs defaults — at 24 steps, 4 for schnell),
+           so a ``-C`` server's first request runs at steady-state speed instead of
+           paying the whole-model compile. Prequantized/calibrated pipelines go
+           straight to phase 2.
         """
         if self._needs_calibration:
             warmup = dict(
@@ -470,6 +523,22 @@ class FluxPipeline:
                     self.generate(**warmup)
             else:
                 self.generate(**warmup)
+
+        # phase 2 runs when serving precompile was asked for: the -C flags (the
+        # reference's compile_blocks/compile_extras) or an explicit bucket list.
+        # A bare compile() call with neither configured just calibrates — that is
+        # what the reference's compile() does for prequantized models too.
+        if not (
+            self.config.warmup_resolutions
+            or self.config.compile_blocks
+            or self.config.compile_extras
+        ):
+            return
+        resolutions = [tuple(r) for r in (self.config.warmup_resolutions or [[720, 1024]])]
+        steps = self.config.warmup_steps or (
+            4 if self.name == ModelVersion.flux_schnell.value else 24
+        )
+        self.warmup(resolutions, num_steps=steps)
 
     # ------------------------------------------------------------------------ loaders
 

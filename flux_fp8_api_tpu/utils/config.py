@@ -134,6 +134,12 @@ class ModelSpec(BaseModel):
     num_scale_trials: int = 12
     # Mesh shape for multi-chip sharding, e.g. {"dp": 1, "tp": 4}. None = single chip.
     mesh: Optional[dict] = None
+    # Serving buckets precompiled by compile(): list of [width, height] pairs (the AOT
+    # analog of the reference's torch.compile warmup, flux_pipeline.py:179-231) and the
+    # step count they compile for (jit caches key on (resolution, steps)). None →
+    # the API defaults: 720×1024 at 24 steps (4 for schnell).
+    warmup_resolutions: Optional[List[List[int]]] = None
+    warmup_steps: Optional[int] = None
     # Use Pallas kernels for the hot ops where available (falls back to XLA on CPU).
     use_pallas: bool = True
 

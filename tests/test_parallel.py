@@ -111,6 +111,58 @@ class TestTrainStep:
         assert new_params["double_blocks"]["img_attn_qkv"].kernel.sharding.spec == P(None, None, "tp")
 
 
+class TestMeshServing:
+    """ModelSpec.mesh wired end-to-end: FluxPipeline.generate() runs the fused denoise
+    with GSPMD-sharded flow params (VERDICT r1 item 1)."""
+
+    def _pipe(self, mesh=None, **overrides):
+        from .test_pipeline import make_pipeline
+
+        return make_pipeline(mesh=mesh, flow_dtype="float32", **overrides)
+
+    def test_generate_on_tp2_matches_single_device(self):
+        from .test_pipeline import decode_jpeg
+
+        kwargs = dict(prompt="a cat on a hill", width=64, height=64, num_steps=2, seed=11, silent=True)
+        ref = decode_jpeg(self._pipe().generate(**kwargs))
+        out = decode_jpeg(self._pipe(mesh={"dp": 1, "tp": 2}).generate(**kwargs))
+        # f32 compute: only reduction-order noise between single-device and TP —
+        # within a quantization level after the uint8 round
+        assert np.mean(np.abs(out.astype(np.int16) - ref.astype(np.int16))) < 1.0
+
+    def test_params_are_sharded_on_the_mesh(self):
+        pipe = self._pipe(mesh={"dp": 2, "tp": 4})
+        qkv = pipe.model_params["double_blocks"]["img_attn_qkv"].kernel
+        assert qkv.sharding.spec == P(None, None, "tp")
+        assert len(qkv.devices()) == 8
+
+    def test_quantized_mesh_generate(self):
+        from .test_pipeline import decode_jpeg, make_pipeline
+
+        pipe = make_pipeline(quant_kind="int8", mesh={"dp": 1, "tp": 2})
+        out = pipe.generate(prompt="a cat", width=64, height=64, num_steps=2, seed=3, silent=True)
+        img = decode_jpeg(out)
+        assert img.shape == (64, 64, 3)
+        assert np.isfinite(img.astype(np.float32)).all()
+
+    def test_dp_batch_sharding(self):
+        pipe = self._pipe(mesh={"dp": 2, "tp": 1})
+        x = pipe._put_flow_input(jnp.zeros((4, 8, 16)))
+        assert x.sharding.spec == P("dp")
+        # odd batch can't split over dp → replicated
+        y = pipe._put_flow_input(jnp.zeros((3, 8, 16)))
+        assert y.sharding.spec == P()
+
+    def test_offload_flow_with_mesh_roundtrip(self):
+        from .test_pipeline import decode_jpeg
+
+        pipe = self._pipe(mesh={"dp": 1, "tp": 2}, offload_flow=True)
+        out = pipe.generate(prompt="a cat", width=64, height=64, num_steps=1, seed=0, silent=True)
+        assert decode_jpeg(out).shape == (64, 64, 3)
+        leaf = pipe.model_params["img_in"].kernel
+        assert list(leaf.devices())[0].platform == "cpu"
+
+
 class TestGraftEntry:
     def test_dryrun_multichip(self):
         import sys

@@ -23,7 +23,7 @@ from .helpers import (
 
 
 def make_pipeline(quant_kind=None, version=ModelVersion.flux_dev, **spec_overrides):
-    cfg, params = tiny_flux()
+    cfg, params = tiny_flux(compute_dtype=spec_overrides.get("flow_dtype", "bfloat16"))
     if quant_kind:
         params = quantize_flux_tree(params, kind=quant_kind)
     clip, t5 = tiny_text_encoders()
@@ -141,6 +141,39 @@ class TestCalibrationInPipeline:
         pipe = make_pipeline(quant_kind="fp8")
         pipe.compile()
         assert not pipe._needs_calibration
+
+
+class TestServingPrecompile:
+    """compile() must precompile the serving buckets so a -C server's first request
+    pays zero compile (reference flux_pipeline.py:179-231 warms before traffic)."""
+
+    def test_warmed_bucket_hits_jit_cache(self):
+        from flux_fp8_api_tpu.sampling import _denoise_scan
+
+        pipe = make_pipeline(
+            quant_kind="fp8",
+            warmup_resolutions=[[64, 64]],
+            warmup_steps=2,
+        )
+        pipe.compile()
+        assert not pipe._needs_calibration
+        cached = _denoise_scan._cache_size()
+        # first "request" at the warmed bucket: no new compilation
+        pipe.generate(prompt="a cat", width=64, height=64, num_steps=2, seed=1, silent=True)
+        assert _denoise_scan._cache_size() == cached
+        # a different bucket does compile fresh (sanity that the counter moves)
+        pipe.generate(prompt="a cat", width=96, height=96, num_steps=2, seed=1, silent=True)
+        assert _denoise_scan._cache_size() > cached
+
+    def test_bare_compile_only_calibrates(self):
+        from flux_fp8_api_tpu.sampling import _denoise_scan
+
+        before = _denoise_scan._cache_size()
+        pipe = make_pipeline(quant_kind="fp8")  # no buckets, no compile flags
+        pipe.compile()
+        assert not pipe._needs_calibration
+        # calibration uses the per-step path; no fused serving bucket was compiled
+        assert _denoise_scan._cache_size() == before
 
 
 class TestOffload:
