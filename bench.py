@@ -31,8 +31,20 @@ BASELINE_ITS = 11.5  # reference README.md:25 — H100, compile on, 1024x1024
 
 def random_quantized_flux(cfg: FluxStatic, key, kind="fp8"):
     """Build the quantized param tree directly (no bf16 staging — 12B bf16 params
-    would not fit the 16GB chip; speed does not depend on weight values)."""
+    would not fit the 16GB chip; speed does not depend on weight values).
+
+    kind="fp8" is the SHIPPED qfloat8 tier: e4m3 leaves converted to int8 MXU compute
+    at load (ModelSpec.fp8_fast_accum default, ops/quant.py:fp8_to_int8_compute).
+    kind="fp8_exact" measures the bit-faithful e5m2×e4m3 path (fp8_fast_accum=false).
+    """
+    fast_accum = kind == "fp8"
+    if kind == "fp8_exact":
+        kind = "fp8"
     wdtype = jnp.float8_e4m3fn if kind == "fp8" else jnp.int8
+    if fast_accum:
+        from flux_fp8_api_tpu.ops.quant import fp8_to_int8_compute
+
+        convert = jax.jit(fp8_to_int8_compute)
     counter = [0]
 
     def nk():
@@ -64,6 +76,9 @@ def random_quantized_flux(cfg: FluxStatic, key, kind="fp8"):
     def qlin(shape_in, shape_out, stacked=None):
         leaf = _qlin_impl(nk(), shape_in, shape_out, stacked)
         jax.block_until_ready(leaf.q)  # serialize leaf builds to bound peak HBM
+        if fast_accum:
+            leaf = convert(leaf)
+            jax.block_until_ready(leaf.q)
         return leaf
 
     def flin(shape_in, shape_out, stacked=None):
@@ -112,8 +127,8 @@ def random_quantized_flux(cfg: FluxStatic, key, kind="fp8"):
 
 
 def main():
-    # usage: bench.py [fp8|int8] [width] [height] [steps] — defaults mirror the
-    # reference's headline row (README.md:25: 1024x1024)
+    # usage: bench.py [fp8|fp8_exact|int8] [width] [height] [steps] — defaults mirror
+    # the reference's headline row (README.md:25: 1024x1024)
     kind = sys.argv[1] if len(sys.argv) > 1 else "fp8"
     width = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
     height = int(sys.argv[3]) if len(sys.argv) > 3 else 1024

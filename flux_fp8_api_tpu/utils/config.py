@@ -142,6 +142,12 @@ class ModelSpec(BaseModel):
     warmup_steps: Optional[int] = None
     # Use Pallas kernels for the hot ops where available (falls back to XLA on CPU).
     use_pallas: bool = True
+    # Execute the qfloat8 flow tier on the int8 MXU (the TPU analog of the reference's
+    # `use_fast_accum=True`, float8_quantize.py:284-292): e4m3 weights are re-gridded
+    # per-out-channel to int8 at load, activations quantize to int8 instead of e5m2.
+    # v5e has no fp8 MXU, so the exact path runs at bf16 speed plus cast overhead
+    # (~29% slower than this for no accuracy gain). False = bit-faithful fp8 semantics.
+    fp8_fast_accum: bool = True
 
     model_config: ConfigDict = {
         "arbitrary_types_allowed": True,

@@ -17,6 +17,7 @@ from ..models.autoencoder import init_autoencoder_params
 from ..models.clip import CLIPConfig, init_clip_params
 from ..models.conditioner import TextEncoder, apply_quantization
 from ..models.flux import FluxStatic, init_flux_params, quantize_flux_tree
+from ..ops.quant import tree_fp8_to_int8_compute
 from ..models.t5 import T5Config, init_t5_params
 from ..utils.checkpoint import (
     is_prequantized_reference_file,
@@ -63,10 +64,19 @@ def load_flow_model(config: ModelSpec, use_pallas: Optional[bool] = None):
         use_pallas=config.use_pallas if use_pallas is None else use_pallas,
     )
     kind = flow_quant_kind(config)
+
+    def fast_accum(params):
+        """qfloat8 tier + fp8_fast_accum → execute on the int8 MXU (the reference's
+        use_fast_accum analog, see ops/quant.py:fp8_to_int8_compute). e4m3 storage is
+        unchanged on disk; conversion happens here, once, at load."""
+        if kind == "fp8" and config.fp8_fast_accum:
+            return tree_fp8_to_int8_compute(params)
+        return params
+
     if config.ckpt_path:
         f = SafetensorsFile(config.ckpt_path)
         if f.metadata.get("format") == "flux-fp8-api-tpu/prequant-v1":
-            return load_prequantized(config.ckpt_path, cfg), cfg, True
+            return fast_accum(load_prequantized(config.ckpt_path, cfg)), cfg, True
         prequant_ref = is_prequantized_reference_file(config.ckpt_path)
         params = load_flux_checkpoint(config.ckpt_path, cfg)
         if prequant_ref:
@@ -75,7 +85,8 @@ def load_flow_model(config: ModelSpec, use_pallas: Optional[bool] = None):
             # absent → the reference re-runs the amax trials
             # (float8_quantize.py:139-185), so report not-prequantized and let the
             # pipeline calibrate the fp8 leaves it got.
-            return params, cfg, reference_prequant_has_input_scales(config.ckpt_path)
+            has_scales = reference_prequant_has_input_scales(config.ckpt_path)
+            return fast_accum(params), cfg, has_scales
     else:
         params = init_flux_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
     if not config.prequantized_flow and kind is not None:
@@ -85,6 +96,7 @@ def load_flow_model(config: ModelSpec, use_pallas: Optional[bool] = None):
             quantize_flow_embedder_layers=config.quantize_flow_embedder_layers,
             kind=kind,
         )
+        params = fast_accum(params)
     return params, cfg, False
 
 

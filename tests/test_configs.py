@@ -106,6 +106,7 @@ class TestPrequantizedPipeline:
             ckpt_path=ckpt,
             prequantized_flow=True,
             text_enc_max_length=32,
+            fp8_fast_accum=False,  # byte-exact fp8 round trip is what's under test
         )
         pipe2 = FluxPipeline.load_pipeline_from_config(spec)
         assert not pipe2._needs_calibration  # scales shipped in the checkpoint
@@ -124,6 +125,42 @@ class TestPrequantizedPipeline:
             np.asarray(pipe.model_params["double_blocks"]["img_attn_qkv"].in_scale),
             np.asarray(pipe2.model_params["double_blocks"]["img_attn_qkv"].in_scale),
         )
+
+    def test_fast_accum_reload_converts_to_int8_compute(self, tmp_path):
+        """With fp8_fast_accum (the TPU default) a saved fp8 checkpoint reloads as
+        int8-compute leaves, scales converted to the int8 law."""
+        from .test_pipeline import make_pipeline
+        from .helpers import tiny_spec
+
+        pipe = make_pipeline(quant_kind="fp8")
+        pipe.compile()
+        ckpt = str(tmp_path / "prequant.safetensors")
+        pipe.save_prequantized(ckpt)
+
+        spec = tiny_spec(
+            version=pipe.config.version,
+            ckpt_path=ckpt,
+            prequantized_flow=True,
+            text_enc_max_length=32,
+            fp8_fast_accum=True,
+        )
+        pipe2 = FluxPipeline.load_pipeline_from_config(spec)
+        assert not pipe2._needs_calibration
+        leaf = pipe2.model_params["double_blocks"]["img_attn_qkv"]
+        assert leaf.kind == "int8"
+        import numpy as np
+
+        # e5m2-law input scale (57344/amax) converted to int8 law (127/amax)
+        np.testing.assert_allclose(
+            np.asarray(leaf.in_scale),
+            np.asarray(pipe.model_params["double_blocks"]["img_attn_qkv"].in_scale)
+            * (127.0 / 57344.0),
+            rtol=1e-6,
+        )
+        out = pipe2.generate(prompt="a cat", width=64, height=64, num_steps=1, seed=9, silent=True)
+        from .test_pipeline import decode_jpeg
+
+        assert decode_jpeg(out).shape == (64, 64, 3)
 
     def test_save_uncalibrated_raises(self):
         from .test_pipeline import make_pipeline

@@ -56,3 +56,16 @@ class TestQuantFidelity:
         out = self._image("int8")
         s = ssim(ref, out)
         assert s >= 0.90, f"int8 SSIM {s}"
+
+    def test_fp8_fast_accum_ssim(self):
+        """The shipped fp8 tier (fp8_fast_accum: e4m3 → int8 MXU compute) must clear
+        the same fidelity gate as the exact-fp8 and int8 tiers."""
+        from flux_fp8_api_tpu.ops.quant import tree_fp8_to_int8_compute
+
+        ref = self._image(None)
+        pipe = make_pipeline(quant_kind="fp8")
+        pipe.model_params = tree_fp8_to_int8_compute(pipe.model_params)
+        pipe.compile()  # calibrates under the int8 law
+        out = decode_jpeg(pipe.generate(**self.GEN)).astype(np.float64)
+        s = ssim(ref, out)
+        assert s >= 0.90, f"fp8 fast-accum SSIM {s}"

@@ -141,3 +141,96 @@ class TestPytree:
         x, sums = jax.lax.scan(body, jnp.ones((1, 4)), stacked)
         assert x.shape == (1, 4)
         assert sums.shape == (3,)
+
+
+class TestFp8FastAccum:
+    """fp8 tier executed on the int8 MXU (ops/quant.py:fp8_to_int8_compute — the TPU
+    analog of the reference's use_fast_accum, float8_quantize.py:284-292)."""
+
+    def _fp8_leaf(self, key=0, in_f=64, out_f=48):
+        k = jax.random.normal(jax.random.PRNGKey(key), (in_f, out_f)) * 0.02
+        b = jnp.zeros((out_f,))
+        return k, quantize_linear_fp8(k, b)
+
+    def test_kernel_error_bounded_by_int8_grid(self):
+        from flux_fp8_api_tpu.ops.quant import fp8_to_int8_compute
+
+        k, lin8 = self._fp8_leaf()
+        lin_i = fp8_to_int8_compute(lin8)
+        assert lin_i.kind == "int8" and lin_i.q.dtype == jnp.int8
+        # int8 re-grid of the e4m3 values: per-channel error ≤ half an int8 step
+        k_fp8 = dequantize_kernel(lin8)
+        k_int8 = dequantize_kernel(lin_i)
+        step = np.asarray(lin_i.w_scale_inv)  # dequant step per channel
+        err = np.abs(np.asarray(k_int8 - k_fp8))
+        assert (err <= 0.5 * step[None, :] + 1e-9).all()
+        # and the total error vs the float kernel stays fp8-tier-like
+        rel = float(jnp.linalg.norm(k_int8 - k) / jnp.linalg.norm(k))
+        rel_fp8 = float(jnp.linalg.norm(k_fp8 - k) / jnp.linalg.norm(k))
+        assert rel < 1.5 * rel_fp8 + 0.01
+
+    def test_uncalibrated_input_scale_stays_one(self):
+        from flux_fp8_api_tpu.ops.quant import fp8_to_int8_compute
+
+        _, lin8 = self._fp8_leaf()
+        lin_i = fp8_to_int8_compute(lin8)
+        np.testing.assert_array_equal(np.asarray(lin_i.in_scale), 1.0)
+
+    def test_calibrated_input_scale_converts_law(self):
+        from flux_fp8_api_tpu.ops.quant import fp8_to_int8_compute
+
+        _, lin8 = self._fp8_leaf()
+        lin8 = with_input_scale(lin8, jnp.float32(3.0))  # e5m2 law: 57344/3
+        lin_i = fp8_to_int8_compute(lin8)
+        # int8 law for the same amax: 127/3
+        np.testing.assert_allclose(np.asarray(lin_i.in_scale), 127.0 / 3.0, rtol=1e-6)
+
+    def test_forward_no_worse_than_exact_fp8(self):
+        """Against the float ground truth, int8 compute must be at least as accurate
+        as the exact e5m2×e4m3 path (int8's 127-level activation grid beats e5m2's
+        2 mantissa bits for everything but near-zero values)."""
+        from flux_fp8_api_tpu.ops.quant import fp8_to_int8_compute
+
+        k, lin8 = self._fp8_leaf()
+        lin8 = with_input_scale(lin8, jnp.float32(3.0))
+        lin_i = fp8_to_int8_compute(lin8)
+        x = jax.random.normal(jax.random.PRNGKey(7), (16, 64))
+        truth = x @ k
+
+        def rel(lin):
+            out, _ = linear_apply(lin, x)
+            return float(
+                jnp.linalg.norm(out.astype(jnp.float32) - truth) / jnp.linalg.norm(truth)
+            )
+
+        rel_fp8, rel_i8 = rel(lin8), rel(lin_i)
+        assert rel_i8 <= rel_fp8 * 1.05, (rel_i8, rel_fp8)
+        assert rel_i8 < 0.10, rel_i8
+
+    def test_stacked_leaves(self):
+        from flux_fp8_api_tpu.ops.quant import fp8_to_int8_compute
+
+        ks = jax.random.normal(jax.random.PRNGKey(1), (3, 32, 24)) * 0.02
+        bs = jnp.zeros((3, 24))
+        stacked = jax.vmap(quantize_linear_fp8)(ks, bs)
+        lin_i = fp8_to_int8_compute(stacked)
+        assert lin_i.q.shape == (3, 32, 24)
+        assert lin_i.w_scale.shape == (3, 24)  # per-block, per-out-channel
+        ref = jax.vmap(dequantize_kernel)(stacked)
+        got = dequantize_kernel(lin_i) if lin_i.q.ndim == 2 else (
+            lin_i.q.astype(jnp.float32) * lin_i.w_scale_inv[..., None, :]
+        )
+        rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
+        assert rel < 0.01
+
+    def test_non_fp8_passthrough(self):
+        from flux_fp8_api_tpu.ops.quant import fp8_to_int8_compute, tree_fp8_to_int8_compute
+
+        k = jax.random.normal(jax.random.PRNGKey(2), (8, 8))
+        f = Linear(kernel=k, kind="float")
+        assert fp8_to_int8_compute(f) is f
+        i8 = quantize_linear_int8(k, None)
+        assert fp8_to_int8_compute(i8) is i8
+        tree = {"a": f, "nested": {"b": quantize_linear_fp8(k, None)}}
+        out = tree_fp8_to_int8_compute(tree)
+        assert out["a"] is f and out["nested"]["b"].kind == "int8"
