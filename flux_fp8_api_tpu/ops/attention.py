@@ -78,13 +78,34 @@ def attention(
 ) -> jnp.ndarray:
     """RoPE + SDPA + head merge (reference ``attention``, flux_model.py:41-45).
 
+    On the TPU/Pallas path the rope rotation is *fused into the attention kernel*
+    (SURVEY.md §2.3 row 2): q/k rotate in VMEM as tiles stream in, instead of a
+    separate XLA pass writing rotated q/k back to HBM first.
+
     Args:
       q, k, v: (B, L, N, H).
       cos, sin: rope tables broadcastable to (B, L, 1, H // 2).
     Returns:
       (B, L, N*H) — heads merged, matching the reference's reshape.
     """
+    b, l, n, h = q.shape
+    if use_pallas and jax.default_backend() == "tpu":
+        from .attention_kernel import qknorm_attention
+
+        bq, bkv = 512, 512
+        for cand in _QKNORM_BLOCKS:
+            if l % cand[0] == 0 and l % cand[1] == 0:
+                bq, bkv = cand
+                break
+        qh, kh, vh = (x.transpose(0, 2, 1, 3).reshape(b * n, l, h) for x in (q, k, v))
+        # rope tables are per-position, shared across batch rows by construction
+        # (make_img_ids/make_txt_ids emit identical id grids per batch element)
+        cos2d = cos[0, :, 0, :] if cos.ndim == 4 else cos
+        sin2d = sin[0, :, 0, :] if sin.ndim == 4 else sin
+        out = qknorm_attention(
+            qh, kh, vh, 1.0 / (h**0.5), block_q=bq, block_kv=bkv, cos=cos2d, sin=sin2d
+        )
+        return out.reshape(b, n, l, h).transpose(0, 2, 1, 3).reshape(b, l, n * h).astype(q.dtype)
     q, k = apply_rope(q, k, cos, sin)
-    x = attention_core(q, k, v, use_pallas=use_pallas)
-    b, l, n, h = x.shape
+    x = attention_core(q, k, v, use_pallas=False)
     return x.reshape(b, l, n * h)

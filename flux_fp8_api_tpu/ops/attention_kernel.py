@@ -42,13 +42,28 @@ SHIFT = 20.0
 MAX_SAFE_LOGIT = 100.0
 
 
+def _rope_rotate(x_ref, cos_ref, sin_ref, out_dtype):
+    """Half-split rope on a (block, d) tile, fully in VMEM registers (see ops/rope.py
+    for the layout argument). f32 rotate, cast to the MXU feed dtype."""
+    x = x_ref[0].astype(jnp.float32)
+    half = x.shape[-1] // 2
+    rotated = jnp.concatenate([-x[:, half:], x[:, :half]], axis=1)
+    return (x * cos_ref[:] + rotated * sin_ref[:]).astype(out_dtype)
+
+
 def _attn_kernel(
-    q_ref, k_ref, v_ref, o_ref, *rest, sm_scale: float, block_kv: int, valid_len: int,
-    track_max: bool = False,
+    *refs, sm_scale: float, block_kv: int, valid_len: int,
+    track_max: bool = False, fuse_rope: bool = False,
 ):
-    # rest = (m_ref, acc_ref, den_ref) in the stats build, (acc_ref, den_ref) otherwise
-    m_ref = rest[0] if track_max else None
-    acc_ref, den_ref = rest[-2], rest[-1]
+    # refs = (q, k, v, [cos_q, sin_q, cos_k, sin_k,] o, [m,] acc, den)
+    q_ref, k_ref, v_ref = refs[:3]
+    idx = 3
+    if fuse_rope:
+        cos_q_ref, sin_q_ref, cos_k_ref, sin_k_ref = refs[idx : idx + 4]
+        idx += 4
+    o_ref = refs[idx]
+    m_ref = refs[idx + 1] if track_max else None
+    acc_ref, den_ref = refs[-2], refs[-1]
     kv_idx = pl.program_id(2)
 
     @pl.when(kv_idx == 0)
@@ -58,8 +73,12 @@ def _attn_kernel(
         if track_max:
             m_ref[:] = jnp.zeros_like(m_ref)
 
-    q = q_ref[0]  # (bq, d)
-    k = k_ref[0]  # (bkv, d)
+    if fuse_rope:
+        q = _rope_rotate(q_ref, cos_q_ref, sin_q_ref, q_ref.dtype)
+        k = _rope_rotate(k_ref, cos_k_ref, sin_k_ref, k_ref.dtype)
+    else:
+        q = q_ref[0]  # (bq, d)
+        k = k_ref[0]  # (bkv, d)
     v = v_ref[0]  # (bkv, d)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -112,6 +131,8 @@ def qknorm_attention(
     block_kv: int = 1024,
     interpret: bool = False,
     return_max_logit: bool = False,
+    cos: jnp.ndarray = None,
+    sin: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """(H, L, D) q/k/v → (H, L, D) attention output (single batch folded into heads).
 
@@ -119,11 +140,18 @@ def qknorm_attention(
     columns in the tail kv block (padded *query* rows produce garbage rows that are
     sliced away — they never mix into valid outputs).
 
+    ``cos``/``sin`` ((L, D) fp32, half-split layout — ops/rope.py) fuse the RoPE
+    rotation into the kernel: q/k tiles rotate in VMEM registers as they stream in,
+    removing the separate XLA rope pass (two full q/k HBM round trips per attention).
+    The rotation recomputes per (q-block, kv-block) revisit — a few µs of VPU against
+    the exp-bound softmax.
+
     ``return_max_logit=True`` selects the stats build, which additionally returns the
     scalar ``max |q·k·sm_scale|`` over the whole attention — the guard-rail input for
     :func:`qknorm_attention_checked`. The serving build carries no tracking cost.
     """
     h, l, d = q.shape
+    fuse_rope = cos is not None
     valid_len = l
     pad = (-l) % max(block_q, block_kv)
     if pad:
@@ -131,6 +159,10 @@ def qknorm_attention(
         q = jnp.concatenate([q, zeros], axis=1)
         k = jnp.concatenate([k, zeros], axis=1)
         v = jnp.concatenate([v, zeros], axis=1)
+        if fuse_rope:
+            # identity rotation on pad rows (their q/k are zero anyway)
+            cos = jnp.concatenate([cos, jnp.ones((pad, d), cos.dtype)], axis=0)
+            sin = jnp.concatenate([sin, jnp.zeros((pad, d), sin.dtype)], axis=0)
         l = l + pad
     grid = (h, l // block_q, l // block_kv)
     kern = functools.partial(
@@ -139,7 +171,23 @@ def qknorm_attention(
         block_kv=block_kv,
         valid_len=valid_len,
         track_max=return_max_logit,
+        fuse_rope=fuse_rope,
     )
+    in_specs = [
+        pl.BlockSpec((1, block_q, d), lambda h, i, j: (h, i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_kv, d), lambda h, i, j: (h, j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_kv, d), lambda h, i, j: (h, j, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [q, k, v]
+    if fuse_rope:
+        in_specs += [
+            pl.BlockSpec((block_q, d), lambda h, i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, d), lambda h, i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_kv, d), lambda h, i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_kv, d), lambda h, i, j: (j, 0), memory_space=pltpu.VMEM),
+        ]
+        cos32, sin32 = cos.astype(jnp.float32), sin.astype(jnp.float32)
+        operands += [cos32, sin32, cos32, sin32]
     out_shape = [jax.ShapeDtypeStruct((h, l, d), q.dtype)]
     out_specs = [
         pl.BlockSpec((1, block_q, d), lambda h, i, j: (h, i, 0), memory_space=pltpu.VMEM)
@@ -154,11 +202,7 @@ def qknorm_attention(
     res = pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda h, i, j: (h, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_kv, d), lambda h, i, j: (h, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_kv, d), lambda h, i, j: (h, j, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
@@ -174,7 +218,7 @@ def qknorm_attention(
             transcendentals=h * l * l,
         ),
         interpret=interpret,
-    )(q, k, v)
+    )(*operands)
     if return_max_logit:
         out, m = res
         out = out[:, :valid_len] if pad else out

@@ -66,6 +66,57 @@ class TestQKNormAttention:
         assert rel < 5e-3, rel
 
 
+class TestFusedRope:
+    """RoPE fused into the kernel must match rope-then-attend exactly (the rotation
+    happens in f32 registers either way, then casts to the MXU feed dtype)."""
+
+    def _inputs(self, h=2, l=256, d=32, key=5):
+        from flux_fp8_api_tpu.ops.rope import embed_nd_cos_sin
+
+        ks = jax.random.split(jax.random.PRNGKey(key), 4)
+        q = _normed(ks[0], (h, l, d))
+        k = _normed(ks[1], (h, l, d))
+        v = jax.random.normal(ks[2], (h, l, d), jnp.float32)
+        ids = jnp.stack(
+            [jnp.zeros((l,)), jnp.arange(l) // 16, jnp.arange(l) % 16], axis=-1
+        )[None]
+        cos, sin = embed_nd_cos_sin(ids, (8, 12, 12), 10_000)  # (1, l, 32)
+        return q, k, v, cos[0], sin[0]
+
+    def test_matches_unfused(self):
+        from flux_fp8_api_tpu.ops.rope import apply_rope
+
+        q, k, v, cos, sin = self._inputs()
+        scale = 32**-0.5
+        qr, kr = apply_rope(q, k, cos[None], sin[None])
+        ref = qknorm_attention(qr, kr, v, scale, block_q=128, block_kv=128, interpret=True)
+        out = qknorm_attention(
+            q, k, v, scale, block_q=128, block_kv=128, interpret=True, cos=cos, sin=sin
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+    def test_fused_rope_with_tail_padding(self):
+        from flux_fp8_api_tpu.ops.rope import apply_rope
+
+        q, k, v, cos, sin = self._inputs(l=200)
+        scale = 32**-0.5
+        qr, kr = apply_rope(q, k, cos[None], sin[None])
+        ref = qknorm_attention(qr, kr, v, scale, block_q=128, block_kv=128, interpret=True)
+        out = qknorm_attention(
+            q, k, v, scale, block_q=128, block_kv=128, interpret=True, cos=cos, sin=sin
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+    def test_fused_rope_with_stats(self):
+        q, k, v, cos, sin = self._inputs()
+        out, m = qknorm_attention(
+            q, k, v, 32**-0.5, block_q=128, block_kv=128, interpret=True,
+            cos=cos, sin=sin, return_max_logit=True,
+        )
+        assert bool(jnp.all(jnp.isfinite(out)))
+        assert float(m) > 0
+
+
 class TestMaxLogitGuard:
     """The guard rail for the max-free softmax: qk-norm bounds |logit|, but LoRA fuses
     or unusual checkpoints can inflate the norm scales past exp's f32 range — the
