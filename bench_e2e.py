@@ -1,12 +1,20 @@
 """End-to-end serving benchmark: images/min including T5 encode + denoise + VAE decode.
 
 The BASELINE metric names both the denoise it/s (bench.py) and e2e images/min incl.
-T5+VAE. This drives the full FluxPipeline on one v5e with the realistic single-chip
-memory plan: flux-dev fp8 (~12GB) + T5-XXL weight-only int4 (~2.7GB) + VAE bf16 +
-CLIP-L bf16 — everything resident, random-init (no weights ship in this image; wall
-clock doesn't depend on values).
+T5+VAE. This drives the full FluxPipeline on one v5e, random-init (no weights ship in
+this image; wall clock doesn't depend on values). Two single-chip memory plans:
 
-Usage: python bench_e2e.py [width height steps]  → one JSON line.
+- ``--t5-bits 2`` (default, resident): T5-XXL wo_int2 (~1.4GB) beside the 12GB fp8
+  flow — the only everything-resident plan that fits one 16GB v5e.
+- ``--t5-bits 4 --offload``: the reference's 24GB-GPU quality tier
+  (config-dev-offload-1-4090.json: qint4 T5 + offload_text_encoder/offload_vae) on a
+  16GB chip — T5-XXL wo_int4 (~2.9GB incl. scales) lives on host and round-trips per
+  request. NOTE: through this dev tunnel host↔device runs at ~15MB/s (vs ~10GB/s PCIe
+  on a real TPU-VM), so the offload transfer dominates the measured wall clock; the
+  JSON breaks out prepare/denoise/decode so the link-bound component is explicit.
+  Resident wo_int4 OOMs: 12GB flow + 2.9GB T5 + CLIP/VAE + activations > 16GB HBM.
+
+Usage: python bench_e2e.py [width height steps] [--t5-bits {2,4}] [--offload] → one JSON line.
 """
 
 import json
@@ -112,9 +120,18 @@ def random_wo8_clip(cfg: CLIPConfig, key) -> dict:
 
 
 def main():
-    width = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
-    height = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
-    steps = int(sys.argv[3]) if len(sys.argv) > 3 else 28
+    argv = list(sys.argv[1:])
+    t5_bits = 2
+    if "--t5-bits" in argv:
+        i = argv.index("--t5-bits")
+        t5_bits = int(argv[i + 1])
+        del argv[i : i + 2]
+    offload = "--offload" in argv
+    if offload:
+        argv.remove("--offload")
+    width = int(argv[0]) if len(argv) > 0 else 1024
+    height = int(argv[1]) if len(argv) > 1 else 1024
+    steps = int(argv[2]) if len(argv) > 2 else 28
 
     flux_params = FluxParams(
         in_channels=64, vec_in_dim=768, context_in_dim=4096, hidden_size=3072,
@@ -128,10 +145,7 @@ def main():
     spec = ModelSpec(
         version=ModelVersion.flux_dev, params=flux_params, ae_params=ae_params,
         text_enc_max_length=512, num_scale_trials=6,
-        # single-chip memory plan (everything resident): fp8 flow 12GB + wo_int2
-        # T5-XXL 1.4GB + wo_int8 CLIP + bf16 VAE — the gigaquant tier. Offload tiers
-        # work but host<->device moves through this dev tunnel run at ~15MB/s
-        # (PCIe-speed on real TPU-VMs), so the resident plan is what's benchable.
+        offload_text_encoder=offload, offload_vae=offload,
     )
     cfg = FluxStatic.from_params(flux_params)
     print("building models...", file=sys.stderr)
@@ -145,13 +159,15 @@ def main():
     print(f"ae built {time.perf_counter()-t0:.0f}s", file=sys.stderr)
 
     t5_cfg = T5Config()  # T5-XXL defaults
-    t5_params = random_wo_t5(t5_cfg, jax.random.PRNGKey(2), bits=2)
+    t5_params = random_wo_t5(t5_cfg, jax.random.PRNGKey(2), bits=t5_bits)
     print(f"t5 built {time.perf_counter()-t0:.0f}s", file=sys.stderr)
-    t5 = TextEncoder("t5", t5_params, t5_cfg, _toy_tokenizer("t5"), max_length=512)
+    t5 = TextEncoder(
+        "t5", t5_params, t5_cfg, _toy_tokenizer("t5"), max_length=512, offload=offload
+    )
     clip_cfg = CLIPConfig()  # ViT-L text tower defaults
     clip = TextEncoder(
         "clip", random_wo8_clip(clip_cfg, jax.random.PRNGKey(3)),
-        clip_cfg, _toy_tokenizer("clip"), max_length=77,
+        clip_cfg, _toy_tokenizer("clip"), max_length=77, offload=offload,
     )
     print(f"clip built {time.perf_counter()-t0:.0f}s", file=sys.stderr)
 
@@ -166,7 +182,7 @@ def main():
     warm = time.perf_counter() - t0
     print(f"warmup (compiles): {warm:.1f}s", file=sys.stderr)
 
-    n = 3
+    n = 1 if offload else 3  # offload runs are host-link-bound; one run is exact enough
     t0 = time.perf_counter()
     for i in range(n):
         out = pipe.generate(
@@ -175,17 +191,21 @@ def main():
     dt = (time.perf_counter() - t0) / n
     jpeg_bytes = len(out.getvalue())
 
+    plan = f"T5-XXL wo_int{t5_bits}" + (" offloaded" if offload else "")
     print(
         json.dumps(
             {
-                "metric": f"e2e images/min @{width}x{height} flux-dev fp8 + T5-XXL wo_int2 + CLIP wo_int8 + VAE, {steps} steps (TPU v5e)",
+                "metric": f"e2e images/min @{width}x{height} flux-dev fp8 + {plan} + CLIP wo_int8 + VAE, {steps} steps (TPU v5e)",
                 "value": round(60.0 / dt, 3),
                 "unit": "images/min",
                 "detail": {
                     "seconds_per_image": round(dt, 2),
+                    "prepare_seconds": round(pipe.timings.get("prepare_seconds", 0), 2),
                     "denoise_seconds": round(pipe.timings.get("denoise_seconds", 0), 2),
+                    "decode_seconds": round(pipe.timings.get("decode_seconds", 0), 2),
                     "jpeg_bytes": jpeg_bytes,
                     "warmup_s": round(warm, 1),
+                    "offload": offload,
                 },
             }
         )

@@ -28,10 +28,18 @@ from ..utils.config import AutoEncoderParams
 
 
 def _conv(p: Dict[str, jnp.ndarray], x: jnp.ndarray, stride: int = 1, padding="SAME") -> jnp.ndarray:
-    """NHWC conv with HWIO kernel; fp32 accumulate."""
+    """NHWC conv with HWIO kernel; fp32 accumulate.
+
+    Kernels may be weight-only-quantized e4m3 (see :func:`quantize_ae_params`):
+    dequantize in compute dtype with the per-out-channel scale — XLA fuses the
+    multiply into the conv's input.
+    """
+    kernel = p["kernel"]
+    if kernel.dtype == jnp.float8_e4m3fn:
+        kernel = kernel.astype(x.dtype) * p["kscale_inv"].astype(x.dtype)
     out = jax.lax.conv_general_dilated(
         x,
-        p["kernel"].astype(x.dtype),
+        kernel.astype(x.dtype),
         window_strides=(stride, stride),
         padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -171,6 +179,36 @@ def ae_decode(params: Dict[str, Any], cfg: AutoEncoderParams, z: jnp.ndarray) ->
     autoencoder.py:330-332)."""
     z = z / cfg.scale_factor + cfg.shift_factor
     return decoder_apply(params["decoder"], z, cfg)
+
+
+# ---------------------------------------------------------------- weight-only quant
+
+
+def quantize_ae_params(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Weight-only e4m3 quantization of every conv kernel, per-out-channel scales.
+
+    Implements what the reference's ``ae_quantization_dtype`` *advertises*
+    (util.py:288-291) — there the flag silently no-ops because
+    ``recursive_swap_linears`` finds no nn.Linear in the conv-only AE. Activations
+    stay in compute dtype; :func:`_conv` dequantizes at use. Halves AE param memory.
+    """
+
+    def q(node):
+        if isinstance(node, dict) and "kernel" in node and node["kernel"].ndim == 4:
+            k32 = node["kernel"].astype(jnp.float32)
+            amax = jnp.max(jnp.abs(k32), axis=(0, 1, 2))  # (out,)
+            scale = jnp.minimum(448.0 / jnp.maximum(amax, 1e-12), 448.0)
+            out = dict(node)
+            out["kernel"] = jnp.clip(k32 * scale, -448.0, 448.0).astype(jnp.float8_e4m3fn)
+            out["kscale_inv"] = (1.0 / scale).astype(jnp.float32)
+            return out
+        if isinstance(node, dict):
+            return {k: q(v) for k, v in node.items()}
+        if isinstance(node, list):
+            return [q(v) for v in node]
+        return node
+
+    return q(params)
 
 
 # ------------------------------------------------------------------------- param init

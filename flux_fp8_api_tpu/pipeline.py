@@ -31,7 +31,7 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec
 from PIL import Image
 
-from .calibration import apply_input_scales, merge_amax
+from .calibration import apply_input_scales_jit, merge_amax_jit
 from .emphasis import get_weighted_text_embeddings
 from .image_encoder import ImageEncoder
 from .models.autoencoder import ae_decode, ae_encode
@@ -319,8 +319,8 @@ class FluxPipeline:
                 img, amaxes = step_collect(
                     self.model_params, img, img_ids, txt, txt_ids, vec, t_curr, t_prev, guidance
                 )
-                self._amax_running = merge_amax(self._amax_running, amaxes)
-                self.model_params = apply_input_scales(self.model_params, self._amax_running)
+                self._amax_running = merge_amax_jit(self._amax_running, amaxes)
+                self.model_params = apply_input_scales_jit(self.model_params, self._amax_running)
                 self._trials_done += 1
                 if self._trials_done >= self.config.num_scale_trials:
                     self._needs_calibration = False
@@ -365,8 +365,10 @@ class FluxPipeline:
             key=key,
             num_images=num_images,
         )
+        t_prepare = time.perf_counter()
         img, img_ids, vec, txt, txt_ids = self.prepare(img, prompt)
         img = self._put_flow_input(img)
+        self.timings["prepare_seconds"] = time.perf_counter() - t_prepare
 
         if self.offload_flow:
             self.model_params = self._place_flow(self.model_params)
@@ -404,8 +406,10 @@ class FluxPipeline:
         if self.offload_flow:
             self.model_params = jax.device_put(self.model_params, self._host)
 
+        t_decode = time.perf_counter()
         pixels = self.vae_decode(img, height, width)
         out = self.into_bytes(pixels, jpeg_quality=jpeg_quality)
+        self.timings["decode_seconds"] = time.perf_counter() - t_decode
         if return_seed:
             return out, seed
         return out

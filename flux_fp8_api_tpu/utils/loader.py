@@ -103,8 +103,16 @@ def load_flow_model(config: ModelSpec, use_pallas: Optional[bool] = None):
 def load_autoencoder(config: ModelSpec):
     dtype = into_dtype(config.ae_dtype)
     if config.ae_path:
-        return load_ae_checkpoint(config.ae_path, config.ae_params, dtype)
-    params = init_autoencoder_params(jax.random.PRNGKey(1), config.ae_params, dtype)
+        params = load_ae_checkpoint(config.ae_path, config.ae_params, dtype)
+    else:
+        params = init_autoencoder_params(jax.random.PRNGKey(1), config.ae_params, dtype)
+    if config.ae_quantization_dtype is not None:
+        # The reference routes this through recursive_swap_linears (util.py:288-291),
+        # which finds no nn.Linear in the conv-only AE — a silent no-op. Here the
+        # flag does what its name promises: weight-only e4m3 on the conv kernels.
+        from ..models.autoencoder import quantize_ae_params
+
+        params = quantize_ae_params(params)
     return params
 
 

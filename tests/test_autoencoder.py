@@ -68,3 +68,37 @@ class TestAutoencoder:
         z = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 8, self.cfg.z_channels), jnp.bfloat16)
         img = ae_decode(params, self.cfg, z)
         assert img.dtype == jnp.bfloat16
+
+class TestQuantizedAE:
+    """Weight-only fp8 AE — the reference's quanto-qfloat8 swap (util.py:288-291)."""
+
+    def setup_method(self):
+        self.cfg = TINY_AE_PARAMS
+        self.params = init_autoencoder_params(jax.random.PRNGKey(0), self.cfg)
+
+    def test_decode_close_to_float(self):
+        from flux_fp8_api_tpu.models.autoencoder import quantize_ae_params
+
+        qparams = quantize_ae_params(self.params)
+        # every conv kernel is e4m3 with a per-out-channel scale
+        k = qparams["decoder"]["conv_in"]["kernel"]
+        assert k.dtype == jnp.float8_e4m3fn
+        assert qparams["decoder"]["conv_in"]["kscale_inv"].shape == (k.shape[-1],)
+        z = jax.random.normal(jax.random.PRNGKey(2), (1, 4, 4, self.cfg.z_channels))
+        ref = np.asarray(ae_decode(self.params, self.cfg, z), dtype=np.float64)
+        out = np.asarray(ae_decode(qparams, self.cfg, z), dtype=np.float64)
+        rel = np.linalg.norm(out - ref) / np.linalg.norm(ref)
+        assert rel < 0.15, rel
+
+    def test_loader_honors_ae_quantization_dtype(self):
+        from flux_fp8_api_tpu.utils.config import QuantizationDtype
+        from flux_fp8_api_tpu.utils.loader import load_autoencoder
+
+        from .helpers import tiny_spec
+
+        spec = tiny_spec(ae_quantization_dtype=QuantizationDtype.qfloat8)
+        params = load_autoencoder(spec)
+        assert params["decoder"]["conv_in"]["kernel"].dtype == jnp.float8_e4m3fn
+        spec_plain = tiny_spec()
+        params_plain = load_autoencoder(spec_plain)
+        assert params_plain["decoder"]["conv_in"]["kernel"].dtype != jnp.float8_e4m3fn

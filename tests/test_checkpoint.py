@@ -269,7 +269,9 @@ class TestReferencePrequantized:
 
         path, _, _ = self._load(tmp_path, with_input_scales=False)
         assert not reference_prequant_has_input_scales(path)
-        spec = tiny_spec(ckpt_path=path, prequantized_flow=True)
+        # fp8_fast_accum=False: check the untransformed fp8 semantics (the default
+        # tier rewrites fp8 leaves to int8-compute at load; covered below)
+        spec = tiny_spec(ckpt_path=path, prequantized_flow=True, fp8_fast_accum=False)
         params, _, prequant = load_flow_model(spec)
         assert prequant is False
         # leaves are still fp8 (no requantization), just uncalibrated
@@ -277,6 +279,11 @@ class TestReferencePrequantized:
         np.testing.assert_array_equal(
             np.asarray(params["double_blocks"]["img_attn_qkv"].in_scale), 1.0
         )
+        # default tier (fp8_fast_accum=True) converts to the int8 MXU at load and
+        # must still report not-prequantized so calibration runs
+        params2, _, prequant2 = load_flow_model(tiny_spec(ckpt_path=path, prequantized_flow=True))
+        assert prequant2 is False
+        assert params2["double_blocks"]["img_attn_qkv"].kind == "int8"
 
 
 class TestPrequantized:

@@ -224,3 +224,47 @@ class TestWeightedEmbeddings:
         )
         assert pooled.shape[0] == 3 and txt.shape[0] == 3
         np.testing.assert_array_equal(np.asarray(pooled[0]), np.asarray(pooled[1]))
+
+
+class TestT5XXLShapeTierFidelity:
+    """Per-tier fidelity at real T5-XXL shapes (d_model 4096, d_ff 10240, 64 heads).
+
+    The reference ships T5-XXL at quanto qfloat8 / qint2 and bnb nf4 / int8 tiers
+    (conditioner.py:17-35); these tests pin each TPU tier's error at the true layer
+    dimensions, where blockwise (64) scale granularity actually engages. Weight-space
+    thresholds come from quantizer theory for a normal kernel (step/sqrt(12) RMS):
+    measured 0.9% int8, 2.7% fp8, 10.8% int4, 72% int2. End-to-end cosine uses one
+    XXL encoder layer with random weights — a chaotic-amplification worst case, so
+    only ordering and a loose int8 floor are asserted.
+    """
+
+    def test_weight_space_rel_error_per_tier(self):
+        from flux_fp8_api_tpu.ops.quant import WO_QUANTIZERS, dequantize_kernel
+
+        kernel = jax.random.normal(jax.random.PRNGKey(0), (4096, 10240), jnp.float32) * 0.02
+        bounds = {"qint8": 0.015, "qfloat8": 0.05, "qint4": 0.15, "qint2": 0.85}
+        rels = {}
+        for tier, bound in bounds.items():
+            lin = WO_QUANTIZERS[tier](kernel, None)
+            dk = dequantize_kernel(lin).astype(jnp.float32)
+            rels[tier] = float(jnp.linalg.norm(dk - kernel) / jnp.linalg.norm(kernel))
+            assert rels[tier] < bound, f"{tier}: rel {rels[tier]:.4f} ≥ {bound}"
+        # tier ordering must hold: more bits → less error
+        assert rels["qint8"] < rels["qfloat8"] < rels["qint4"] < rels["qint2"]
+
+    def test_encode_cosine_ordering_xxl_width(self):
+        cfg = T5Config(vocab_size=256, num_layers=1)  # XXL widths, one layer
+        params = init_t5_params(jax.random.PRNGKey(1), cfg, jnp.float32)
+        ids = (jnp.arange(8)[None] * 37) % 256
+        ref = np.asarray(t5_encode(params, cfg, ids, dtype=jnp.float32), dtype=np.float64).ravel()
+
+        def cos(tier):
+            out = np.asarray(
+                t5_encode(quantize_t5_params(params, tier), cfg, ids, dtype=jnp.float32),
+                dtype=np.float64,
+            ).ravel()
+            return float(out @ ref / (np.linalg.norm(out) * np.linalg.norm(ref)))
+
+        c8, c4, c2 = cos("qint8"), cos("qint4"), cos("qint2")
+        assert c8 > c4 > c2, (c8, c4, c2)
+        assert c8 > 0.97, c8
