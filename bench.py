@@ -62,6 +62,12 @@ def random_quantized_flux(cfg: FluxStatic, key, kind="fp8"):
         if kind == "fp8":
             q = (jax.random.normal(key, (*lead, shape_in, shape_out), jnp.bfloat16) * 48.0).astype(wdtype)
             w_scale = jnp.full(lead or (), 2000.0, jnp.float32)
+        elif kind == "int4":
+            q = jax.random.bits(key, (*lead, shape_in // 2, shape_out), jnp.uint8)
+            # keep nibbles in the valid offset-binary range [0, 14]
+            q = jnp.where((q & 0xF) == 0xF, q - 1, q)
+            q = jnp.where((q >> 4) == 0xF, q - 16, q)
+            w_scale = jnp.full((*lead, shape_out), 350.0, jnp.float32)
         else:
             bits = jax.random.bits(key, (*lead, shape_in, shape_out), jnp.uint8)
             q = jax.lax.bitcast_convert_type(bits, jnp.int8)
@@ -127,8 +133,8 @@ def random_quantized_flux(cfg: FluxStatic, key, kind="fp8"):
 
 
 def main():
-    # usage: bench.py [fp8|fp8_exact|int8] [width] [height] [steps] — defaults mirror
-    # the reference's headline row (README.md:25: 1024x1024)
+    # usage: bench.py [fp8|fp8_exact|int8|int4] [width] [height] [steps] — defaults
+    # mirror the reference's headline row (README.md:25: 1024x1024)
     kind = sys.argv[1] if len(sys.argv) > 1 else "fp8"
     width = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
     height = int(sys.argv[3]) if len(sys.argv) > 3 else 1024

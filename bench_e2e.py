@@ -159,14 +159,22 @@ def main():
     print(f"ae built {time.perf_counter()-t0:.0f}s", file=sys.stderr)
 
     t5_cfg = T5Config()  # T5-XXL defaults
-    t5_params = random_wo_t5(t5_cfg, jax.random.PRNGKey(2), bits=t5_bits)
+    clip_cfg = CLIPConfig()  # ViT-L text tower defaults
+    if offload:
+        # build the offloaded encoders ON the host: building 2.9GB of T5 beside the
+        # 12GB resident flow would OOM the 16GB chip before the move-to-host
+        with jax.default_device(jax.devices("cpu")[0]):
+            t5_params = random_wo_t5(t5_cfg, jax.random.PRNGKey(2), bits=t5_bits)
+            clip_params = random_wo8_clip(clip_cfg, jax.random.PRNGKey(3))
+    else:
+        t5_params = random_wo_t5(t5_cfg, jax.random.PRNGKey(2), bits=t5_bits)
+        clip_params = random_wo8_clip(clip_cfg, jax.random.PRNGKey(3))
     print(f"t5 built {time.perf_counter()-t0:.0f}s", file=sys.stderr)
     t5 = TextEncoder(
         "t5", t5_params, t5_cfg, _toy_tokenizer("t5"), max_length=512, offload=offload
     )
-    clip_cfg = CLIPConfig()  # ViT-L text tower defaults
     clip = TextEncoder(
-        "clip", random_wo8_clip(clip_cfg, jax.random.PRNGKey(3)),
+        "clip", clip_params,
         clip_cfg, _toy_tokenizer("clip"), max_length=77, offload=offload,
     )
     print(f"clip built {time.perf_counter()-t0:.0f}s", file=sys.stderr)

@@ -49,6 +49,9 @@ def parse_args(argv=None):
                         help="Keep modulation linears unquantized (~2GB more, better precision)")
     parser.add_argument("-qfl", "--quantize-flow-embedder-layers", action="store_true",
                         help="Also quantize img_in/txt_in/time_in/vector_in/guidance_in (~512MB less)")
+    parser.add_argument("--compilation-cache-dir", type=str, default=None,
+                        help="Persistent XLA compilation cache: server restarts skip "
+                             "the 20-60s serving-bucket compiles")
     return parser.parse_args(argv)
 
 
@@ -59,9 +62,12 @@ def main():
     from .pipeline import FluxPipeline
     from .utils.config import ModelVersion, load_config
 
+    overrides = {}
+    if args.compilation_cache_dir:
+        overrides["compilation_cache_dir"] = args.compilation_cache_dir
     if args.config_path:
         pipeline = FluxPipeline.load_pipeline_from_config_path(
-            args.config_path, flow_model_path=args.flow_model_path
+            args.config_path, flow_model_path=args.flow_model_path, **overrides
         )
     else:
         config = load_config(
@@ -87,6 +93,8 @@ def main():
             quantize_modulation=args.quantize_modulation,
             quantize_flow_embedder_layers=args.quantize_flow_embedder_layers,
         )
+        for k, v in overrides.items():
+            setattr(config, k, v)
         pipeline = FluxPipeline.load_pipeline_from_config(config)
 
     try:

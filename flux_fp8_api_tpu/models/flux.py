@@ -39,7 +39,13 @@ from ..ops.math import (
     silu,
     timestep_embedding,
 )
-from ..ops.quant import Linear, linear_apply, quantize_linear_fp8, quantize_linear_int8
+from ..ops.quant import (
+    Linear,
+    linear_apply,
+    quantize_linear_fp8,
+    quantize_linear_int4,
+    quantize_linear_int8,
+)
 from ..ops.rope import embed_nd_cos_sin
 from ..utils.config import FluxParams, ModelSpec
 
@@ -213,9 +219,14 @@ def quantize_flux_tree(
       (default False, ~512MB saved);
     - qkv/proj/mlp/linear1/linear2 always quantize.
 
-    ``kind``: "fp8" (parity tier) or "int8" (TPU speed tier).
+    ``kind``: "fp8" (parity tier), "int8" (TPU speed tier), or "int4" (the reference's
+    gigaquant memory tier, config-dev-gigaquant.json — 12B flow in ~6GB).
     """
-    qfn = {"fp8": quantize_linear_fp8, "int8": quantize_linear_int8}[kind]
+    qfn = {
+        "fp8": quantize_linear_fp8,
+        "int8": quantize_linear_int8,
+        "int4": quantize_linear_int4,
+    }[kind]
 
     def quant(lin: Linear) -> Linear:
         if lin.kind != "float":

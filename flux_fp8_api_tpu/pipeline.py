@@ -89,6 +89,12 @@ class FluxPipeline:
 
         self._host = jax.devices("cpu")[0]
 
+        if config.compilation_cache_dir:
+            # persistent XLA executable cache: restarts skip the 20-60s serving-bucket
+            # compiles (the torch.compile/inductor-cache analog, flux_pipeline.py:24-28)
+            jax.config.update("jax_compilation_cache_dir", config.compilation_cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
         # multi-chip serving: config.mesh (e.g. {"dp": 1, "tp": 4}) builds a device
         # mesh; flow params get Megatron-style GSPMD shardings (parallel/mesh.py) and
         # the jitted denoise partitions across chips with XLA inserting the ICI
@@ -166,7 +172,7 @@ class FluxPipeline:
 
         def walk(tree) -> bool:
             if isinstance(tree, Linear):
-                return tree.kind in ("fp8", "int8")
+                return tree.kind in ("fp8", "int8", "int4")
             if isinstance(tree, dict):
                 return any(walk(v) for v in tree.values())
             if isinstance(tree, (list, tuple)):

@@ -148,6 +148,11 @@ class ModelSpec(BaseModel):
     # v5e has no fp8 MXU, so the exact path runs at bf16 speed plus cast overhead
     # (~29% slower than this for no accuracy gain). False = bit-faithful fp8 semantics.
     fp8_fast_accum: bool = True
+    # Persistent XLA compilation cache directory. A flux-dev serving bucket takes
+    # 20-60s to compile on one v5e; with this set, restarts reload the compiled
+    # executable from disk instead (the torch.compile / inductor cache analog,
+    # reference flux_pipeline.py:24-28 dynamo cache knobs).
+    compilation_cache_dir: Optional[str] = None
 
     model_config: ConfigDict = {
         "arbitrary_types_allowed": True,

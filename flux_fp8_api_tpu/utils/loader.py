@@ -32,6 +32,9 @@ from ..utils.safetensors_io import SafetensorsFile
 FLOW_QUANT_KINDS = {
     QuantizationDtype.qfloat8.value: "fp8",
     QuantizationDtype.qint8.value: "int8",
+    # reference gigaquant flow tier (config-dev-gigaquant.json: qint4 via quanto) →
+    # packed int4 weights executed on the int8 MXU (ops/quant.py:quantize_linear_int4)
+    QuantizationDtype.qint4.value: "int4",
 }
 
 

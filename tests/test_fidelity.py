@@ -69,3 +69,12 @@ class TestQuantFidelity:
         out = decode_jpeg(pipe.generate(**self.GEN)).astype(np.float64)
         s = ssim(ref, out)
         assert s >= 0.90, f"fp8 fast-accum SSIM {s}"
+
+    def test_int4_ssim_gigaquant(self):
+        """The gigaquant tier is explicitly a quality-for-memory trade (reference
+        README calls it 'worse quality'); gate it loosely — sane, recognizable
+        images, well below the fp8/int8 bar."""
+        ref = self._image(None)
+        out = self._image("int4")
+        s = ssim(ref, out)
+        assert s >= 0.5, f"int4 SSIM {s}"

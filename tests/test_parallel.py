@@ -145,6 +145,17 @@ class TestMeshServing:
         assert img.shape == (64, 64, 3)
         assert np.isfinite(img.astype(np.float32)).all()
 
+    def test_int4_mesh_generate(self):
+        """Packed-int4 leaves (gigaquant flow) under GSPMD: the nibble-unpack reshape
+        must compose with tp sharding of the packed in-axis."""
+        from .test_pipeline import decode_jpeg, make_pipeline
+
+        pipe = make_pipeline(quant_kind="int4", mesh={"dp": 1, "tp": 2})
+        out = pipe.generate(prompt="a cat", width=64, height=64, num_steps=2, seed=3, silent=True)
+        img = decode_jpeg(out)
+        assert img.shape == (64, 64, 3)
+        assert np.isfinite(img.astype(np.float32)).all()
+
     def test_dp_batch_sharding(self):
         pipe = self._pipe(mesh={"dp": 2, "tp": 1})
         x = pipe._put_flow_input(jnp.zeros((4, 8, 16)))

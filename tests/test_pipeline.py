@@ -142,6 +142,18 @@ class TestCalibrationInPipeline:
         pipe.compile()
         assert not pipe._needs_calibration
 
+    def test_int4_pipeline_calibrates_and_generates(self):
+        """gigaquant flow tier (reference config-dev-gigaquant.json qint4): the same
+        calibration protocol runs, scales freeze, and images come out finite."""
+        pipe = make_pipeline(quant_kind="int4")
+        assert pipe._needs_calibration
+        out = pipe.generate(prompt="a cat", width=64, height=64, num_steps=4, seed=0, silent=True)
+        assert not pipe._needs_calibration
+        assert pipe.model_params["double_blocks"]["img_attn_qkv"].kind == "int4"
+        scales = np.asarray(pipe.model_params["double_blocks"]["img_attn_qkv"].in_scale)
+        assert not np.allclose(scales, 1.0)
+        assert decode_jpeg(out).shape == (64, 64, 3)
+
 
 class TestServingPrecompile:
     """compile() must precompile the serving buckets so a -C server's first request
@@ -203,3 +215,22 @@ class TestLoadFromConfig:
         p.write_text(spec.model_dump_json())
         pipe = FluxPipeline.load_pipeline_from_config_path(str(p), offload_vae=True)
         assert pipe.offload_vae
+
+
+class TestCompilationCache:
+    def test_cache_dir_populated(self, tmp_path):
+        """compilation_cache_dir → persistent XLA executable cache (restart skips
+        the serving-bucket compile; the inductor-cache analog)."""
+        import jax as _jax
+
+        cache = str(tmp_path / "xla-cache")
+        try:
+            pipe = make_pipeline(compilation_cache_dir=cache)
+            assert _jax.config.jax_compilation_cache_dir == cache
+            pipe.generate(prompt="a cat", width=64, height=64, num_steps=2, seed=0, silent=True)
+            import os
+
+            entries = os.listdir(cache)
+            assert entries, "compilation cache dir stayed empty"
+        finally:
+            _jax.config.update("jax_compilation_cache_dir", None)

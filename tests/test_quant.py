@@ -234,3 +234,71 @@ class TestFp8FastAccum:
         tree = {"a": f, "nested": {"b": quantize_linear_fp8(k, None)}}
         out = tree_fp8_to_int8_compute(tree)
         assert out["a"] is f and out["nested"]["b"].kind == "int8"
+
+
+class TestInt4Linear:
+    """Packed int4 flow tier — the reference's gigaquant flow
+    (config-dev-gigaquant.json: flow_quantization_dtype qint4 via quanto)."""
+
+    def test_exact_roundtrip_on_grid(self):
+        from flux_fp8_api_tpu.ops.quant import quantize_linear_int4
+
+        # values that are exact multiples of amax/7 recover exactly
+        # every column contains a ±7 so the quantization grid is exactly value/7
+        grid = jnp.array([[-7, 3, 0], [7, -7, 2], [1, 1, -2], [-4, 0, 7]], jnp.float32) * 0.05
+        lin = quantize_linear_int4(grid, None)
+        assert lin.kind == "int4" and lin.q.dtype == jnp.uint8
+        assert lin.q.shape == (2, 3)  # two rows per byte
+        np.testing.assert_allclose(np.asarray(dequantize_kernel(lin)), np.asarray(grid), rtol=1e-6)
+
+    def test_quantize_error_bound(self):
+        from flux_fp8_api_tpu.ops.quant import quantize_linear_int4
+
+        w = jax.random.normal(jax.random.PRNGKey(0), (256, 128)) * 0.03
+        lin = quantize_linear_int4(w, None)
+        dk = dequantize_kernel(lin)
+        rel = np.linalg.norm(np.asarray(dk - w)) / np.linalg.norm(np.asarray(w))
+        assert rel < 0.16, rel  # ~12% expected for per-channel int4 on normal weights
+
+    def test_forward_matches_dequantized_matmul(self):
+        from flux_fp8_api_tpu.ops.quant import quantize_linear_int4
+
+        k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+        w = jax.random.normal(k1, (64, 32)) * 0.05
+        x = jax.random.normal(k2, (4, 64))
+        bias = jnp.ones((32,), jnp.float32)
+        qlin = with_input_scale(quantize_linear_int4(w, bias), jnp.max(jnp.abs(x)))
+        out, _ = linear_apply(qlin, x, jnp.float32)
+        # reference computation: int8-quantized activations × dequantized int4 weights
+        xs = float(qlin.in_scale)
+        x8 = jnp.round(jnp.clip(x * xs, -127, 127))
+        ref = (x8 @ np.asarray(dequantize_kernel(qlin)) / xs) + 1.0
+        rel = np.linalg.norm(np.asarray(out - ref)) / np.linalg.norm(np.asarray(ref))
+        assert rel < 0.02, rel
+
+    def test_with_kernel_requantizes_keeping_input_scale(self):
+        from flux_fp8_api_tpu.ops.quant import quantize_linear_int4
+
+        w = jax.random.normal(jax.random.PRNGKey(4), (32, 16)) * 0.05
+        lin = with_input_scale(quantize_linear_int4(w, None), jnp.float32(3.0))
+        fused = with_kernel(lin, w * 2.0)
+        assert fused.kind == "int4"
+        np.testing.assert_allclose(np.asarray(fused.in_scale), np.asarray(lin.in_scale))
+        rel = np.linalg.norm(np.asarray(dequantize_kernel(fused) - w * 2.0)) / np.linalg.norm(
+            np.asarray(w * 2.0)
+        )
+        assert rel < 0.16
+
+    def test_flux_tree_int4_forward_finite_and_close(self):
+        from flux_fp8_api_tpu.models.flux import flux_apply, quantize_flux_tree
+
+        from .helpers import tiny_flux, tiny_inputs
+
+        cfg, params = tiny_flux()
+        ref = flux_apply(params, cfg, **tiny_inputs()).astype(jnp.float32)
+        q4 = quantize_flux_tree(params, kind="int4")
+        assert q4["double_blocks"]["img_attn_qkv"].kind == "int4"
+        out = flux_apply(q4, cfg, **tiny_inputs()).astype(jnp.float32)
+        assert bool(jnp.all(jnp.isfinite(out)))
+        rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+        assert rel < 0.6, rel  # gigaquant tier: coarse but sane on random weights
