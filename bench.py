@@ -133,12 +133,13 @@ def random_quantized_flux(cfg: FluxStatic, key, kind="fp8"):
 
 
 def main():
-    # usage: bench.py [fp8|fp8_exact|int8|int4] [width] [height] [steps] — defaults
-    # mirror the reference's headline row (README.md:25: 1024x1024)
+    # usage: bench.py [fp8|fp8_exact|int8|int4] [width] [height] [steps] [batch] —
+    # defaults mirror the reference's headline row (README.md:25: 1024x1024, bs=1)
     kind = sys.argv[1] if len(sys.argv) > 1 else "fp8"
     width = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
     height = int(sys.argv[3]) if len(sys.argv) > 3 else 1024
     num_steps = int(sys.argv[4]) if len(sys.argv) > 4 else 28
+    batch = int(sys.argv[5]) if len(sys.argv) > 5 else 1
 
     params_cfg = FluxParams(
         in_channels=64, vec_in_dim=768, context_in_dim=4096, hidden_size=3072,
@@ -148,7 +149,7 @@ def main():
     cfg = FluxStatic.from_params(params_cfg, use_pallas=jax.default_backend() == "tpu")
     params = random_quantized_flux(cfg, jax.random.PRNGKey(0), kind=kind)
 
-    b = 1
+    b = batch
     h_lat, w_lat = 2 * math.ceil(height / 16), 2 * math.ceil(width / 16)
     txt_len = 512
     img = jax.random.normal(jax.random.PRNGKey(1), (b, (h_lat // 2) * (w_lat // 2), 64), jnp.bfloat16)
@@ -177,7 +178,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"denoise it/s @{width}x{height} flux-dev {kind} bs=1 ({num_steps} steps, fused scan, TPU v5e)",
+                "metric": f"denoise it/s @{width}x{height} flux-dev {kind} bs={batch} ({num_steps} steps, fused scan, TPU v5e)",
                 "value": round(its, 3),
                 "unit": "it/s",
                 "vs_baseline": round(its / BASELINE_ITS, 4),

@@ -33,7 +33,13 @@ import numpy as np
 
 from .models.flux import FluxStatic
 from .utils.logging import logger
-from .ops.quant import Linear, dequantize_kernel, quantize_linear_fp8, quantize_linear_int8
+from .ops.quant import (
+    Linear,
+    dequantize_kernel,
+    quantize_linear_fp8,
+    quantize_linear_int4,
+    quantize_linear_int8,
+)
 from .utils.safetensors_io import load_safetensors
 
 _PATH_SPLIT = re.compile(r"/|\\")
@@ -282,7 +288,11 @@ def _requantize_slice(lin: Linear, idx: Optional[int], new_kernel: jnp.ndarray) 
         return dataclasses.replace(
             lin, kernel=lin.kernel.at[idx].set(new_kernel.astype(lin.kernel.dtype))
         )
-    qfn = quantize_linear_fp8 if lin.kind == "fp8" else quantize_linear_int8
+    qfn = {
+        "fp8": quantize_linear_fp8,
+        "int8": quantize_linear_int8,
+        "int4": quantize_linear_int4,
+    }[lin.kind]
     bias = None if lin.bias is None else (lin.bias if idx is None else lin.bias[idx])
     fresh = qfn(new_kernel, bias)
     if idx is None:

@@ -191,3 +191,20 @@ class TestRegistry:
         cfg, params = tiny_flux()
         p2, reg = lora.pipeline_unload_lora(params, cfg, [], "nope")
         assert p2 is params and reg == []
+
+    def test_int4_fuse_unfuse_roundtrip_within_quant_noise(self):
+        """LoRA into the gigaquant (packed int4) tier: dequant→fuse→requant must keep
+        packing/scales consistent and round-trip within int4 noise."""
+        cfg, params = tiny_flux()
+        qparams = quantize_flux_tree(params, kind="int4")
+        inp = tiny_inputs()
+        ref = flux_apply(qparams, cfg, **inp).astype(jnp.float32)
+        p2, reg = lora.pipeline_load_lora(qparams, cfg, [], make_kohya_lora(), 1.0, "l1")
+        assert p2["double_blocks"]["img_attn_proj"].kind == "int4"
+        mid = flux_apply(p2, cfg, **inp).astype(jnp.float32)
+        assert float(jnp.linalg.norm(mid - ref)) > 0  # the fuse did something
+        p3, reg = lora.pipeline_unload_lora(p2, cfg, reg, "l1")
+        out = flux_apply(p3, cfg, **inp).astype(jnp.float32)
+        rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+        # int4's grid is 16x coarser than e4m3's mantissa — allow more requant noise
+        assert rel < 0.35, f"int4 fuse/unfuse roundtrip err {rel}"
