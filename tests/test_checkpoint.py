@@ -323,3 +323,21 @@ class TestPrequantized:
         ))
         # fp8 data is half the bf16 size for the quantized majority of weights
         assert os.path.getsize(qpath) < 0.75 * os.path.getsize(fpath)
+
+    def test_int4_save_load_roundtrip(self, tmp_path):
+        """The prequant format is kind-generic: packed-int4 (gigaquant) trees
+        round-trip byte-identically, scales included."""
+        cfg, params = tiny_flux()
+        qparams = quantize_flux_tree(params, kind="int4")
+        inp = tiny_inputs()
+        _, amaxes = flux_apply(qparams, cfg, **inp, collect_amax=True)
+        qparams = apply_input_scales(qparams, merge_amax(None, amaxes))
+        ref_out = flux_apply(qparams, cfg, **inp)
+
+        path = str(tmp_path / "prequant-int4.safetensors")
+        save_prequantized(path, qparams)
+        reloaded = load_prequantized(path, cfg)
+        assert reloaded["double_blocks"]["img_attn_qkv"].kind == "int4"
+        assert reloaded["double_blocks"]["img_attn_qkv"].q.dtype == jnp.uint8
+        out = flux_apply(reloaded, cfg, **inp)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref_out))
