@@ -63,11 +63,25 @@ def settings_record(prompt, width, height, steps, guidance, seed, strength=None)
     return rec
 
 
-def attach_metadata(image: Image.Image, record: dict) -> Image.Image:
-    """Stamp the generation settings into the PIL image's info dict (saved as PNG
-    text chunks / JPEG comment by PIL on export)."""
-    image.info["parameters"] = json.dumps(record)
-    return image
+def attach_metadata(image: Image.Image, record: dict) -> str:
+    """Write the image to a PNG whose tEXt chunk carries the generation settings
+    (the A1111-style ``parameters`` key) and return its path.
+
+    PIL does NOT persist ``image.info`` on save — PNG text chunks must go through an
+    explicit ``PngInfo`` — and Gradio re-encodes PIL return values (stripping chunks),
+    so the only way the metadata survives to the user's download is to hand Gradio a
+    finished file path.
+    """
+    import tempfile
+
+    from PIL.PngImagePlugin import PngInfo
+
+    meta = PngInfo()
+    meta.add_text("parameters", json.dumps(record))
+    f = tempfile.NamedTemporaryFile(suffix=".png", delete=False)
+    image.save(f, format="PNG", pnginfo=meta)
+    f.close()
+    return f.name
 
 
 def build_ui(pipeline):

@@ -38,15 +38,25 @@ def attention_core(
     k: jnp.ndarray,
     v: jnp.ndarray,
     use_pallas: bool = True,
+    cos: jnp.ndarray = None,
+    sin: jnp.ndarray = None,
 ) -> jnp.ndarray:
-    """Softmax attention over the full (txt+img) joint sequence.
+    """Softmax attention over the full (txt+img) joint sequence, optionally with the
+    RoPE rotation fused in.
 
     Dispatch: FLUX q/k are RMS-normed, so the max-free qk-norm Pallas kernel
-    (ops/attention_kernel.py) is the default on TPU; falls back to JAX's flash kernel
-    for sequence lengths its blocks don't divide, and to XLA SDPA off-TPU.
+    (ops/attention_kernel.py) is the default on TPU; falls back to XLA SDPA off-TPU.
+
+    ROPE CONTRACT: when ``cos``/``sin`` are given, the fused TPU path applies batch
+    row 0's tables to EVERY batch row — valid because FLUX's ``make_img_ids`` /
+    ``make_txt_ids`` emit one shared positional grid per batch. A caller batching
+    rows with *different* positional ids must pre-rotate with :func:`apply_rope`
+    and call this without cos/sin (the off-TPU fallback below is per-row correct).
 
     Args:
       q, k, v: (B, L, N, H).
+      cos, sin: optional rope tables — (B, L, 1, H) as built by the model, or
+        already-2D (L, H).
     Returns:
       (B, L, N, H) in q.dtype.
     """
@@ -63,8 +73,16 @@ def attention_core(
                 break
         # fold batch into heads: (B, L, N, H) → (B*N, L, H)
         qh, kh, vh = (x.transpose(0, 2, 1, 3).reshape(b * n, l, h) for x in (q, k, v))
-        out = qknorm_attention(qh, kh, vh, sm_scale, block_q=bq, block_kv=bkv)
+        rope = {}
+        if cos is not None:
+            rope = dict(
+                cos=cos[0, :, 0, :] if cos.ndim == 4 else cos,
+                sin=sin[0, :, 0, :] if sin.ndim == 4 else sin,
+            )
+        out = qknorm_attention(qh, kh, vh, sm_scale, block_q=bq, block_kv=bkv, **rope)
         return out.reshape(b, n, l, h).transpose(0, 2, 1, 3).astype(q.dtype)
+    if cos is not None:
+        q, k = apply_rope(q, k, cos, sin)
     return _sdpa_xla(q, k, v)
 
 
@@ -80,32 +98,15 @@ def attention(
 
     On the TPU/Pallas path the rope rotation is *fused into the attention kernel*
     (SURVEY.md §2.3 row 2): q/k rotate in VMEM as tiles stream in, instead of a
-    separate XLA pass writing rotated q/k back to HBM first.
+    separate XLA pass writing rotated q/k back to HBM first. See
+    :func:`attention_core` for the batch-shared rope-table contract.
 
     Args:
       q, k, v: (B, L, N, H).
-      cos, sin: rope tables broadcastable to (B, L, 1, H // 2).
+      cos, sin: rope tables, (B, L, 1, H) or (L, H) — identical across batch rows.
     Returns:
       (B, L, N*H) — heads merged, matching the reference's reshape.
     """
     b, l, n, h = q.shape
-    if use_pallas and jax.default_backend() == "tpu":
-        from .attention_kernel import qknorm_attention
-
-        bq, bkv = 512, 512
-        for cand in _QKNORM_BLOCKS:
-            if l % cand[0] == 0 and l % cand[1] == 0:
-                bq, bkv = cand
-                break
-        qh, kh, vh = (x.transpose(0, 2, 1, 3).reshape(b * n, l, h) for x in (q, k, v))
-        # rope tables are per-position, shared across batch rows by construction
-        # (make_img_ids/make_txt_ids emit identical id grids per batch element)
-        cos2d = cos[0, :, 0, :] if cos.ndim == 4 else cos
-        sin2d = sin[0, :, 0, :] if sin.ndim == 4 else sin
-        out = qknorm_attention(
-            qh, kh, vh, 1.0 / (h**0.5), block_q=bq, block_kv=bkv, cos=cos2d, sin=sin2d
-        )
-        return out.reshape(b, n, l, h).transpose(0, 2, 1, 3).reshape(b, l, n * h).astype(q.dtype)
-    q, k = apply_rope(q, k, cos, sin)
-    x = attention_core(q, k, v, use_pallas=False)
+    x = attention_core(q, k, v, use_pallas=use_pallas, cos=cos, sin=sin)
     return x.reshape(b, l, n * h)

@@ -196,7 +196,7 @@ def _unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([low, high], axis=-2)
 
 
-def fp8_to_int8_compute(lin: Linear) -> Linear:
+def fp8_to_int8_compute(lin: Linear, calibrated: Optional[bool] = None) -> Linear:
     """fp8 leaf → int8-compute leaf: the TPU ``use_fast_accum`` analog.
 
     v5e/v5p MXUs have no fp8 feed: the exact fp8 path upcasts both operands to bf16
@@ -229,7 +229,16 @@ def fp8_to_int8_compute(lin: Linear) -> Linear:
     factor = wsi.reshape(wsi.shape + (1, 1)) * scale[..., None, :]
     qi = jnp.round(jnp.clip(q32 * factor, -INT8_MAX, INT8_MAX)).astype(jnp.int8)
     in_scale = lin.in_scale.astype(jnp.float32)
-    in8 = jnp.where(in_scale == 1.0, 1.0, in_scale * (INT8_MAX / F8_INPUT_MAX))
+    if calibrated is True:
+        in8 = in_scale * (INT8_MAX / F8_INPUT_MAX)
+    elif calibrated is False:
+        in8 = jnp.float32(1.0)
+    else:
+        # heuristic fallback for callers that can't know (e.g. synthetic bench
+        # trees): scale==1.0 reads as "never calibrated". A truly calibrated scale
+        # of exactly 1.0 (activation amax exactly F8_INPUT_MAX) would be
+        # misclassified — load paths pass `calibrated` explicitly to avoid this.
+        in8 = jnp.where(in_scale == 1.0, 1.0, in_scale * (INT8_MAX / F8_INPUT_MAX))
     return Linear(
         q=qi,
         w_scale=scale,
@@ -241,11 +250,12 @@ def fp8_to_int8_compute(lin: Linear) -> Linear:
     )
 
 
-def tree_fp8_to_int8_compute(tree):
+def tree_fp8_to_int8_compute(tree, calibrated: Optional[bool] = None):
     """Convert every fp8 Linear leaf of a param tree to int8 compute (jitted per leaf
     so the dequant staging stays fused — at 12B params an eager f32 intermediate per
-    leaf would blow the 16GB chip)."""
-    conv = jax.jit(fp8_to_int8_compute)
+    leaf would blow the 16GB chip). ``calibrated`` pins the input-scale law
+    conversion when the caller knows (see fp8_to_int8_compute)."""
+    conv = jax.jit(partial(fp8_to_int8_compute, calibrated=calibrated))
 
     def walk(t):
         if isinstance(t, Linear):

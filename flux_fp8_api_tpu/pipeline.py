@@ -529,9 +529,12 @@ class FluxPipeline:
             )
             if self.name == ModelVersion.flux_schnell.value:
                 warmup["num_steps"] = 4
-                for _ in range(3):
-                    self.generate(**warmup)
-            else:
+            # loop until the scales actually freeze: with num_scale_trials > the
+            # recipe's step count one generate isn't enough, and leaving
+            # _needs_calibration set would route phase 2's bucket warmup through the
+            # per-step calibration path — never compiling the fused serving scan the
+            # -C flag exists to precompile.
+            while self._needs_calibration:
                 self.generate(**warmup)
 
         # phase 2 runs when serving precompile was asked for: the -C flags (the

@@ -215,17 +215,23 @@ def deinterleave_flux_tree(tree: Dict[str, Any], cfg: FluxStatic) -> Dict[str, A
     return out
 
 
-def is_prequantized_reference_file(path: str) -> bool:
-    f = SafetensorsFile(path)
+def _as_stf(path_or_file) -> SafetensorsFile:
+    """Accept a path or an already-open SafetensorsFile — the loader parses the
+    multi-GB file's header once and hands it to both detectors."""
+    return path_or_file if isinstance(path_or_file, SafetensorsFile) else SafetensorsFile(path_or_file)
+
+
+def is_prequantized_reference_file(path_or_file) -> bool:
+    f = _as_stf(path_or_file)
     return any(k.endswith(".float8_data") for k in f.keys())
 
 
-def reference_prequant_has_input_scales(path: str) -> bool:
+def reference_prequant_has_input_scales(path_or_file) -> bool:
     """True when every F8Linear in a reference-prequantized checkpoint also ships its
     tuned ``input_scale``. The reference re-runs amax calibration when input scales are
     absent (float8_quantize.py:154-185) — we mirror that by reporting the flow as
     *not* prequantized so the pipeline's calibration pass runs."""
-    f = SafetensorsFile(path)
+    f = _as_stf(path_or_file)
     keys = set(f.keys())
     f8_prefixes = [k[: -len(".float8_data")] for k in keys if k.endswith(".float8_data")]
     return all(f"{p}.input_scale" in keys for p in f8_prefixes)

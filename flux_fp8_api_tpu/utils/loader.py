@@ -19,6 +19,7 @@ from ..models.conditioner import TextEncoder, apply_quantization
 from ..models.flux import FluxStatic, init_flux_params, quantize_flux_tree
 from ..ops.quant import tree_fp8_to_int8_compute
 from ..models.t5 import T5Config, init_t5_params
+from ..utils.logging import logger
 from ..utils.checkpoint import (
     is_prequantized_reference_file,
     load_ae_checkpoint,
@@ -68,19 +69,22 @@ def load_flow_model(config: ModelSpec, use_pallas: Optional[bool] = None):
     )
     kind = flow_quant_kind(config)
 
-    def fast_accum(params):
+    def fast_accum(params, calibrated: bool):
         """qfloat8 tier + fp8_fast_accum → execute on the int8 MXU (the reference's
         use_fast_accum analog, see ops/quant.py:fp8_to_int8_compute). e4m3 storage is
-        unchanged on disk; conversion happens here, once, at load."""
+        unchanged on disk; conversion happens here, once, at load. ``calibrated``
+        pins the e5m2→int8 input-scale law conversion (the load path always knows —
+        never rely on the ==1.0 heuristic, which misreads a tuned scale of exactly
+        1.0 as uncalibrated)."""
         if kind == "fp8" and config.fp8_fast_accum:
-            return tree_fp8_to_int8_compute(params)
+            return tree_fp8_to_int8_compute(params, calibrated=calibrated)
         return params
 
     if config.ckpt_path:
         f = SafetensorsFile(config.ckpt_path)
         if f.metadata.get("format") == "flux-fp8-api-tpu/prequant-v1":
-            return fast_accum(load_prequantized(config.ckpt_path, cfg)), cfg, True
-        prequant_ref = is_prequantized_reference_file(config.ckpt_path)
+            return fast_accum(load_prequantized(config.ckpt_path, cfg), calibrated=True), cfg, True
+        prequant_ref = is_prequantized_reference_file(f)
         params = load_flux_checkpoint(config.ckpt_path, cfg)
         if prequant_ref:
             # reference-style prequantized: fp8 leaves already built by the loader.
@@ -88,8 +92,8 @@ def load_flow_model(config: ModelSpec, use_pallas: Optional[bool] = None):
             # absent → the reference re-runs the amax trials
             # (float8_quantize.py:139-185), so report not-prequantized and let the
             # pipeline calibrate the fp8 leaves it got.
-            has_scales = reference_prequant_has_input_scales(config.ckpt_path)
-            return fast_accum(params), cfg, has_scales
+            has_scales = reference_prequant_has_input_scales(f)
+            return fast_accum(params, calibrated=has_scales), cfg, has_scales
     else:
         params = init_flux_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
     if not config.prequantized_flow and kind is not None:
@@ -99,7 +103,7 @@ def load_flow_model(config: ModelSpec, use_pallas: Optional[bool] = None):
             quantize_flow_embedder_layers=config.quantize_flow_embedder_layers,
             kind=kind,
         )
-        params = fast_accum(params)
+        params = fast_accum(params, calibrated=False)
     return params, cfg, False
 
 
@@ -111,10 +115,23 @@ def load_autoencoder(config: ModelSpec):
         params = init_autoencoder_params(jax.random.PRNGKey(1), config.ae_params, dtype)
     if config.ae_quantization_dtype is not None:
         # The reference routes this through recursive_swap_linears (util.py:288-291),
-        # which finds no nn.Linear in the conv-only AE — a silent no-op. Here the
-        # flag does what its name promises: weight-only e4m3 on the conv kernels.
+        # which finds no nn.Linear in the conv-only AE — a silent no-op for every
+        # value. Here the flag does what its name promises: weight-only e4m3 on the
+        # conv kernels. fp8 is the only implemented conv tier; other requested values
+        # (e.g. the reference gigaquant config's qint4) map onto it with a warning
+        # rather than crashing on reference config files.
         from ..models.autoencoder import quantize_ae_params
 
+        tier = str(
+            config.ae_quantization_dtype.value
+            if hasattr(config.ae_quantization_dtype, "value")
+            else config.ae_quantization_dtype
+        )
+        if tier != "qfloat8":
+            logger.warning(
+                f"ae_quantization_dtype={tier}: only qfloat8 is implemented for the "
+                "conv AE; applying weight-only fp8 instead"
+            )
         params = quantize_ae_params(params)
     return params
 

@@ -43,11 +43,19 @@ class TestSettingsRecord:
         rec2 = settings_record("a cat", 64, 64, 2, 3.5, 7, strength=0.8)
         assert rec2["strength"] == 0.8
 
-    def test_attach_metadata(self):
+    def test_attach_metadata_survives_png_roundtrip(self):
+        """The metadata must live in the saved FILE's tEXt chunk, not just the
+        in-memory info dict (PIL drops .info on save without an explicit PngInfo)."""
+        import os
+
         im = Image.fromarray(np.zeros((8, 8, 3), np.uint8))
         rec = settings_record("x", 64, 64, 2, 3.5, 1)
-        out = attach_metadata(im, rec)
-        assert json.loads(out.info["parameters"]) == rec
+        path = attach_metadata(im, rec)
+        try:
+            reloaded = Image.open(path)
+            assert json.loads(reloaded.info["parameters"]) == rec
+        finally:
+            os.unlink(path)
 
 
 class TestPresets:

@@ -28,12 +28,9 @@ def make_pipeline(quant_kind=None, version=ModelVersion.flux_dev, **spec_overrid
         params = quantize_flux_tree(params, kind=quant_kind)
     clip, t5 = tiny_text_encoders()
     ae = init_autoencoder_params(jax.random.PRNGKey(5), TINY_AE_PARAMS)
-    spec = tiny_spec(
-        version=version,
-        text_enc_max_length=32,
-        num_scale_trials=3,
-        **spec_overrides,
-    )
+    spec_overrides.setdefault("text_enc_max_length", 32)
+    spec_overrides.setdefault("num_scale_trials", 3)
+    spec = tiny_spec(version=version, **spec_overrides)
     return FluxPipeline(
         name=str(version.value),
         clip=clip,
@@ -153,6 +150,15 @@ class TestCalibrationInPipeline:
         scales = np.asarray(pipe.model_params["double_blocks"]["img_attn_qkv"].in_scale)
         assert not np.allclose(scales, 1.0)
         assert decode_jpeg(out).shape == (64, 64, 3)
+
+    def test_compile_calibrates_fully_when_trials_exceed_recipe(self):
+        """num_scale_trials > one warmup generate's steps: compile() must loop until
+        the scales actually freeze, else phase 2 warms the calibration path instead
+        of the fused serving scan."""
+        pipe = make_pipeline(quant_kind="fp8", num_scale_trials=20)  # recipe = 12 steps
+        pipe.compile()
+        assert not pipe._needs_calibration
+        assert pipe._trials_done >= 20
 
 
 class TestServingPrecompile:
