@@ -13,8 +13,13 @@ this image; wall clock doesn't depend on values). Two single-chip memory plans:
   on a real TPU-VM), so the offload transfer dominates the measured wall clock; the
   JSON breaks out prepare/denoise/decode so the link-bound component is explicit.
   Resident wo_int4 OOMs: 12GB flow + 2.9GB T5 + CLIP/VAE + activations > 16GB HBM.
+- ``--flow int4 --t5-bits 4`` (gigaquant-resident): the int4 flow tier (~6GB) frees
+  enough HBM that T5-XXL wo_int4 fits *resident* — no offload round-trips, so it
+  trades flow-weight precision (fp8→int4) for T5 precision (int2→int4) at roughly
+  the same images/min as the all-resident default.
 
-Usage: python bench_e2e.py [width height steps] [--t5-bits {2,4}] [--offload] → one JSON line.
+Usage: python bench_e2e.py [width height steps] [--t5-bits {2,4}] [--flow {fp8,int4}]
+       [--offload] → one JSON line.
 """
 
 import json
@@ -126,6 +131,11 @@ def main():
         i = argv.index("--t5-bits")
         t5_bits = int(argv[i + 1])
         del argv[i : i + 2]
+    flow_kind = "fp8"
+    if "--flow" in argv:
+        i = argv.index("--flow")
+        flow_kind = argv[i + 1]
+        del argv[i : i + 2]
     offload = "--offload" in argv
     if offload:
         argv.remove("--offload")
@@ -150,7 +160,7 @@ def main():
     cfg = FluxStatic.from_params(flux_params)
     print("building models...", file=sys.stderr)
     t0 = time.perf_counter()
-    flow = random_quantized_flux(cfg, jax.random.PRNGKey(0), kind="fp8")
+    flow = random_quantized_flux(cfg, jax.random.PRNGKey(0), kind=flow_kind)
     print(f"flow built {time.perf_counter()-t0:.0f}s", file=sys.stderr)
     # jit the eager inits: each eager op is a tunnel round-trip on this dev TPU
     ae = jax.jit(lambda k: init_autoencoder_params(k, ae_params, jnp.bfloat16))(
@@ -203,7 +213,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"e2e images/min @{width}x{height} flux-dev fp8 + {plan} + CLIP wo_int8 + VAE, {steps} steps (TPU v5e)",
+                "metric": f"e2e images/min @{width}x{height} flux-dev {flow_kind} + {plan} + CLIP wo_int8 + VAE, {steps} steps (TPU v5e)",
                 "value": round(60.0 / dt, 3),
                 "unit": "images/min",
                 "detail": {

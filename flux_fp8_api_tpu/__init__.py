@@ -25,4 +25,8 @@ def __getattr__(name):
         from .pipeline import FluxPipeline
 
         return FluxPipeline
+    if name == "flux_from_pretrained":
+        from .utils.loader import flux_from_pretrained
+
+        return flux_from_pretrained
     raise AttributeError(name)

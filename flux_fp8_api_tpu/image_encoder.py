@@ -17,16 +17,24 @@ from PIL import Image
 
 class ImageEncoder:
     def encode_array(self, x: np.ndarray, quality: int = 95) -> io.BytesIO:
-        """(H, W, 3) or (B, H, W, 3) float in [-1, 1] → JPEG bytes.
+        """(H, W, 3) or (B, H, W, 3) float in [-1, 1] — or already-normalized uint8 —
+        → JPEG bytes.
 
-        Multiple images stack vertically, matching the reference's ``torch.vstack``
+        The pipeline's decode jit emits uint8 on device (4× less transfer than fp32);
+        floats are normalized here for direct callers. Multiple images stack
+        vertically, matching the reference's ``torch.vstack``
         (flux_pipeline.py:390-393).
         """
-        x = np.asarray(x, dtype=np.float32)
+        x = np.asarray(x)
+        if x.dtype != np.uint8:
+            x = np.asarray(x, dtype=np.float32)
         if x.ndim == 3:
             x = x[None]
         imgs: List[np.ndarray] = []
         for i in range(x.shape[0]):
+            if x.dtype == np.uint8:
+                imgs.append(x[i])
+                continue
             arr = np.clip(x[i], -1.0, 1.0)
             arr = np.clip((arr + 1.0) * 127.5, 0, 255).astype(np.uint8)
             imgs.append(arr)

@@ -32,6 +32,11 @@ def _sdpa_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
 # (block_q, block_kv) preference order for the qk-norm kernel; picked by divisibility
 _QKNORM_BLOCKS = ((768, 1536), (512, 1024), (512, 512), (256, 512), (256, 256))
 
+# Test/dev escape hatch: take the Pallas branch in interpret mode off-TPU, so the
+# shard_map tensor-parallel path is exercisable on the virtual CPU mesh (conftest).
+# Production never sets this; on TPU the kernel compiles for real.
+FORCE_PALLAS_INTERPRET = False
+
 
 def attention_core(
     q: jnp.ndarray,
@@ -40,6 +45,7 @@ def attention_core(
     use_pallas: bool = True,
     cos: jnp.ndarray = None,
     sin: jnp.ndarray = None,
+    shard_axes=None,
 ) -> jnp.ndarray:
     """Softmax attention over the full (txt+img) joint sequence, optionally with the
     RoPE rotation fused in.
@@ -57,12 +63,19 @@ def attention_core(
       q, k, v: (B, L, N, H).
       cos, sin: optional rope tables — (B, L, 1, H) as built by the model, or
         already-2D (L, H).
+      shard_axes: mesh-axis names (e.g. ``("dp", "tp")``) to shard the folded
+        batch·head axis over via ``jax.shard_map``, keeping the Pallas kernel on the
+        fast path under tensor parallelism (GSPMD cannot partition a custom call on
+        its own). Requires an ambient mesh (``jax.set_mesh``) and B·N divisible by
+        the product of the named axis sizes; each device runs the unmodified kernel
+        on its local heads — attention has no cross-head math, so no collectives.
     Returns:
       (B, L, N, H) in q.dtype.
     """
     b, l, n, h = q.shape
     sm_scale = 1.0 / (h**0.5)
-    if use_pallas and jax.default_backend() == "tpu":
+    interpret = FORCE_PALLAS_INTERPRET
+    if use_pallas and (jax.default_backend() == "tpu" or interpret):
         from .attention_kernel import qknorm_attention
 
         # best divisible block pair, else (512, 512) with in-kernel tail masking
@@ -73,13 +86,32 @@ def attention_core(
                 break
         # fold batch into heads: (B, L, N, H) → (B*N, L, H)
         qh, kh, vh = (x.transpose(0, 2, 1, 3).reshape(b * n, l, h) for x in (q, k, v))
-        rope = {}
+        cos2d = sin2d = None
         if cos is not None:
-            rope = dict(
-                cos=cos[0, :, 0, :] if cos.ndim == 4 else cos,
-                sin=sin[0, :, 0, :] if sin.ndim == 4 else sin,
+            cos2d = cos[0, :, 0, :] if cos.ndim == 4 else cos
+            sin2d = sin[0, :, 0, :] if sin.ndim == 4 else sin
+
+        def run(qh, kh, vh, cos2d, sin2d):
+            rope = {} if cos2d is None else dict(cos=cos2d, sin=sin2d)
+            return qknorm_attention(
+                qh, kh, vh, sm_scale, block_q=bq, block_kv=bkv, interpret=interpret, **rope
             )
-        out = qknorm_attention(qh, kh, vh, sm_scale, block_q=bq, block_kv=bkv, **rope)
+
+        if shard_axes:
+            from jax.sharding import PartitionSpec as P
+
+            head_spec, rep = P(tuple(shard_axes)), P()
+            args = (qh, kh, vh) if cos2d is None else (qh, kh, vh, cos2d, sin2d)
+            fn = (lambda q_, k_, v_: run(q_, k_, v_, None, None)) if cos2d is None else run
+            sharded = jax.shard_map(
+                fn,
+                in_specs=(head_spec,) * 3 + ((rep, rep) if cos2d is not None else ()),
+                out_specs=head_spec,
+                check_vma=False,  # pallas_call outputs carry no vma info
+            )
+            out = sharded(*args)
+        else:
+            out = run(qh, kh, vh, cos2d, sin2d)
         return out.reshape(b, n, l, h).transpose(0, 2, 1, 3).astype(q.dtype)
     if cos is not None:
         q, k = apply_rope(q, k, cos, sin)
@@ -93,6 +125,7 @@ def attention(
     cos: jnp.ndarray,
     sin: jnp.ndarray,
     use_pallas: bool = True,
+    shard_axes=None,
 ) -> jnp.ndarray:
     """RoPE + SDPA + head merge (reference ``attention``, flux_model.py:41-45).
 
@@ -108,5 +141,5 @@ def attention(
       (B, L, N*H) — heads merged, matching the reference's reshape.
     """
     b, l, n, h = q.shape
-    x = attention_core(q, k, v, use_pallas=use_pallas, cos=cos, sin=sin)
+    x = attention_core(q, k, v, use_pallas=use_pallas, cos=cos, sin=sin, shard_axes=shard_axes)
     return x.reshape(b, l, n * h)

@@ -232,7 +232,9 @@ def fp8_to_int8_compute(lin: Linear, calibrated: Optional[bool] = None) -> Linea
     if calibrated is True:
         in8 = in_scale * (INT8_MAX / F8_INPUT_MAX)
     elif calibrated is False:
-        in8 = jnp.float32(1.0)
+        # ones_like, not a scalar: depth-stacked block leaves carry a (depth,)
+        # in_scale and lax.scan needs that leading axis preserved
+        in8 = jnp.ones_like(in_scale)
     else:
         # heuristic fallback for callers that can't know (e.g. synthetic bench
         # trees): scale==1.0 reads as "never calibrated". A truly calibrated scale

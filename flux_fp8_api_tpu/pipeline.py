@@ -106,11 +106,24 @@ class FluxPipeline:
 
             self.mesh = make_mesh(dict(config.mesh))
             if dict(config.mesh).get("tp", 1) > 1 and self.model_cfg is not None and self.model_cfg.use_pallas:
-                # the hand-written Pallas attention kernel has no GSPMD partition
-                # rule; under tensor parallelism XLA's per-head attention partitions
-                # cleanly instead (heads divide tp)
-                self.model_cfg = dataclasses.replace(self.model_cfg, use_pallas=False)
-                logger.info("mesh tp>1: using XLA attention (Pallas kernel is single-chip)")
+                # GSPMD cannot partition the Pallas attention custom call on its own;
+                # shard its folded batch·head axis explicitly over the mesh via
+                # shard_map (ops/attention.py) — each chip runs the kernel on its
+                # local heads, no collectives (attention has no cross-head math).
+                # Heads must divide the axis product; otherwise fall back to XLA's
+                # partitionable per-head attention.
+                n_heads = self.model_cfg.num_heads
+                axes = tuple(
+                    a for a in ("dp", "tp") if a in self.mesh.axis_names and self.mesh.shape[a] > 0
+                )
+                for cand in (axes, ("tp",)):
+                    if n_heads % int(np.prod([self.mesh.shape[a] for a in cand])) == 0:
+                        self.model_cfg = dataclasses.replace(self.model_cfg, attn_shard_axes=cand)
+                        logger.info(f"mesh serving: Pallas attention shard_map over {cand}")
+                        break
+                else:
+                    self.model_cfg = dataclasses.replace(self.model_cfg, use_pallas=False)
+                    logger.info("mesh tp>1: heads don't divide tp — using XLA attention")
 
         self.model_params = (
             jax.device_put(model, self._host)
@@ -133,8 +146,20 @@ class FluxPipeline:
         self.timings: Dict[str, float] = {}
 
         self._rng = np.random.default_rng()
+        # decode emits uint8 ON DEVICE: the [-1,1]→byte normalization is elementwise
+        # (reference does it host-side, flux_pipeline.py:373-397), and fetching uint8
+        # moves 4× fewer bytes over PCIe (or 4× less of this dev tunnel's ~15MB/s) —
+        # JPEG encode needs uint8 anyway. floor matches numpy's .astype truncation on
+        # the clipped non-negative range, so bytes are identical to the host path.
         self._jit_ae_decode = jax.jit(
-            lambda p, z: ae_decode(p, self.config.ae_params, z)
+            lambda p, z: jnp.floor(
+                jnp.clip(
+                    (jnp.clip(ae_decode(p, self.config.ae_params, z).astype(jnp.float32), -1.0, 1.0) + 1.0)
+                    * 127.5,
+                    0.0,
+                    255.0,
+                )
+            ).astype(jnp.uint8)
         )
         self._jit_ae_encode = jax.jit(
             lambda p, x, key: ae_encode(p, self.config.ae_params, x, key)
@@ -144,6 +169,16 @@ class FluxPipeline:
             self.compile()
 
     # ---------------------------------------------------------------------- placement
+
+    def _mesh_ctx(self):
+        """Ambient-mesh context for the denoise region: the attention shard_map
+        (ops/attention.py) resolves its axis names against ``jax.set_mesh``'s mesh.
+        No-op single-chip."""
+        if self.mesh is None:
+            import contextlib
+
+            return contextlib.nullcontext()
+        return jax.set_mesh(self.mesh)
 
     def _place_flow(self, params):
         """Flow params → their serving placement: GSPMD-sharded over the mesh when one
@@ -380,27 +415,28 @@ class FluxPipeline:
             self.model_params = self._place_flow(self.model_params)
 
         t_denoise = time.perf_counter()
-        if self._needs_calibration:
-            img = self._calibration_denoise(
-                img, img_ids, txt, txt_ids, vec, timesteps, guidance, silent
-            )
-        else:
-            # silent (server) mode: fused whole-loop scan — fastest. Interactive mode:
-            # per-step jit with a tqdm bar whose rate is the reference's it/s metric
-            # (flux_pipeline.py:628-630).
-            img = denoise(
-                self.model_params,
-                self.model_cfg,
-                img,
-                img_ids,
-                txt,
-                txt_ids,
-                vec,
-                timesteps,
-                guidance,
-                fused=silent,
-                progress=not silent,
-            )
+        with self._mesh_ctx():
+            if self._needs_calibration:
+                img = self._calibration_denoise(
+                    img, img_ids, txt, txt_ids, vec, timesteps, guidance, silent
+                )
+            else:
+                # silent (server) mode: fused whole-loop scan — fastest. Interactive
+                # mode: per-step jit with a tqdm bar whose rate is the reference's
+                # it/s metric (flux_pipeline.py:628-630).
+                img = denoise(
+                    self.model_params,
+                    self.model_cfg,
+                    img,
+                    img_ids,
+                    txt,
+                    txt_ids,
+                    vec,
+                    timesteps,
+                    guidance,
+                    fused=silent,
+                    progress=not silent,
+                )
         # fetch one element rather than block_until_ready: on the axon-tunneled TPU
         # block_until_ready is a no-op, a value fetch forces execution everywhere
         _ = jax.device_get(img[0, :1, :1])
@@ -421,8 +457,8 @@ class FluxPipeline:
         return out
 
     def vae_decode(self, latents: jnp.ndarray, height: int, width: int) -> np.ndarray:
-        """Packed latents → (B, H, W, 3) float pixels in [-1, 1]
-        (reference flux_pipeline.py:422-448)."""
+        """Packed latents → (B, H, W, 3) uint8 pixels (the [-1,1]→byte normalization
+        runs in the decode jit — reference flux_pipeline.py:422-448 + :373-397)."""
         if self.offload_vae:
             self.ae_params = jax.device_put(self.ae_params, self.device_ae)
         x = unpack_latents(latents.astype(jnp.float32), height, width)  # (B,16,h,w)
@@ -431,7 +467,7 @@ class FluxPipeline:
         pixels = self._jit_ae_decode(self.ae_params, x)
         if self.offload_vae:
             self.ae_params = jax.device_put(self.ae_params, self._host)
-        return np.asarray(pixels.astype(jnp.float32))
+        return np.asarray(pixels)
 
     def into_bytes(self, pixels: np.ndarray, jpeg_quality: int = 99) -> io.BytesIO:
         return self.img_encoder.encode_array(pixels, quality=jpeg_quality)

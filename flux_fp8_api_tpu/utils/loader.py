@@ -107,6 +107,21 @@ def load_flow_model(config: ModelSpec, use_pallas: Optional[bool] = None):
     return params, cfg, False
 
 
+def flux_from_pretrained(config_path: str, **overrides):
+    """Standalone flow-model load from a config file, without building the pipeline —
+    the reference's ``Flux.from_pretrained`` (flux_model.py:718-734: config →
+    meta-device ctor → safetensors assign). Returns ``(params, FluxStatic,
+    prequantized)``; ``overrides`` patch ModelSpec fields (e.g. ``ckpt_path=...``)
+    the same way the pipeline classmethods do.
+    """
+    from .config import load_config_from_path
+
+    config = load_config_from_path(config_path)
+    if overrides:
+        config = config.model_copy(update=overrides)
+    return load_flow_model(config)
+
+
 def load_autoencoder(config: ModelSpec):
     dtype = into_dtype(config.ae_dtype)
     if config.ae_path:

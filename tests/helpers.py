@@ -63,9 +63,9 @@ def tiny_spec(**overrides) -> ModelSpec:
     return ModelSpec(**defaults)
 
 
-def tiny_flux(key=None, compute_dtype="bfloat16"):
+def tiny_flux(key=None, compute_dtype="bfloat16", use_pallas=False):
     cfg = FluxStatic.from_params(
-        TINY_FLUX_PARAMS, compute_dtype=compute_dtype, use_pallas=False
+        TINY_FLUX_PARAMS, compute_dtype=compute_dtype, use_pallas=use_pallas
     )
     params = init_flux_params(key or jax.random.PRNGKey(0), cfg, jnp.float32)
     return cfg, params

@@ -341,3 +341,36 @@ class TestPrequantized:
         assert reloaded["double_blocks"]["img_attn_qkv"].q.dtype == jnp.uint8
         out = flux_apply(reloaded, cfg, **inp)
         np.testing.assert_array_equal(np.asarray(out), np.asarray(ref_out))
+
+
+class TestFluxFromPretrained:
+    """Standalone flow load without the pipeline — reference Flux.from_pretrained
+    (flux_model.py:718-734)."""
+
+    def test_config_plus_checkpoint(self, tmp_path):
+        from flux_fp8_api_tpu.utils.loader import flux_from_pretrained
+
+        from .helpers import tiny_spec
+
+        ckpt = str(tmp_path / "flux.safetensors")
+        _synthetic_bfl_checkpoint(ckpt)
+        cfg_path = str(tmp_path / "config.json")
+        spec = tiny_spec(ckpt_path=ckpt)
+        with open(cfg_path, "w") as f:
+            f.write(spec.model_dump_json())
+        params, cfg, prequant = flux_from_pretrained(cfg_path)
+        assert not prequant
+        out = flux_apply(params, cfg, **tiny_inputs())
+        assert bool(jnp.all(jnp.isfinite(out.astype(jnp.float32))))
+
+    def test_overrides_patch_spec(self, tmp_path):
+        """kwargs override config fields, like the pipeline classmethods."""
+        from flux_fp8_api_tpu.utils.loader import flux_from_pretrained
+
+        from .helpers import tiny_spec
+
+        cfg_path = str(tmp_path / "config.json")
+        with open(cfg_path, "w") as f:
+            f.write(tiny_spec().model_dump_json())
+        params, _, _ = flux_from_pretrained(cfg_path, flow_quantization_dtype="qint8")
+        assert params["double_blocks"]["img_attn_qkv"].kind == "int8"

@@ -181,3 +181,78 @@ class TestGraftEntry:
         import __graft_entry__ as g
 
         g.dryrun_multichip(8)
+
+
+class TestShardMapPallasAttention:
+    """The Pallas attention kernel stays on the fast path under tensor parallelism:
+    shard_map over the folded batch·head axis (ops/attention.py), interpret mode on
+    the CPU mesh standing in for the real kernel."""
+
+    def _qkv(self, b=2, n=4, l=256, h=64):
+        ks = jax.random.split(jax.random.PRNGKey(0), 5)
+        q, k, v = (jax.random.normal(ks[i], (b, l, n, h), jnp.float32) for i in range(3))
+        # qk-norm keeps |logit| bounded — normalize per head_dim like the model does
+        q = q / jnp.linalg.norm(q, axis=-1, keepdims=True) * (h**0.5)
+        k = k / jnp.linalg.norm(k, axis=-1, keepdims=True) * (h**0.5)
+        ang = jax.random.uniform(ks[3], (l, h // 2), jnp.float32, 0, 3.14)
+        cos = jnp.repeat(jnp.cos(ang), 2, -1).reshape(1, l, 1, h) * jnp.ones((b, 1, 1, 1))
+        sin = jnp.repeat(jnp.sin(ang), 2, -1).reshape(1, l, 1, h) * jnp.ones((b, 1, 1, 1))
+        return q, k, v, cos, sin
+
+    def test_matches_unsharded_kernel(self, monkeypatch):
+        import flux_fp8_api_tpu.ops.attention as attn_mod
+
+        monkeypatch.setattr(attn_mod, "FORCE_PALLAS_INTERPRET", True)
+        q, k, v, cos, sin = self._qkv()
+        ref = attn_mod.attention(q, k, v, cos, sin, use_pallas=True)
+        mesh = make_mesh({"dp": 2, "tp": 4})
+        with jax.set_mesh(mesh):
+            out = attn_mod.attention(
+                q, k, v, cos, sin, use_pallas=True, shard_axes=("dp", "tp")
+            )
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    def test_tp_only_axis(self, monkeypatch):
+        import flux_fp8_api_tpu.ops.attention as attn_mod
+
+        monkeypatch.setattr(attn_mod, "FORCE_PALLAS_INTERPRET", True)
+        q, k, v, cos, sin = self._qkv(b=1)
+        ref = attn_mod.attention(q, k, v, cos, sin, use_pallas=True)
+        mesh = make_mesh({"dp": 2, "tp": 4})
+        with jax.set_mesh(mesh):
+            out = attn_mod.attention(q, k, v, cos, sin, use_pallas=True, shard_axes=("tp",))
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    def test_flux_apply_with_attn_shard_axes(self, monkeypatch):
+        """Whole-model: cfg.attn_shard_axes routes every block's attention through
+        shard_map; output must match the unsharded Pallas path exactly (f32)."""
+        import dataclasses
+
+        import flux_fp8_api_tpu.ops.attention as attn_mod
+
+        monkeypatch.setattr(attn_mod, "FORCE_PALLAS_INTERPRET", True)
+        cfg = dataclasses.replace(
+            FluxStatic.from_params(PARAMS, compute_dtype="float32"), use_pallas=True
+        )
+        params = init_flux_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+        batch = make_dummy_batch(cfg, batch=2, h_latent=8, w_latent=8, txt_len=16,
+                                 key=jax.random.PRNGKey(7))
+        args = (batch["latents"], batch["img_ids"], batch["txt"], batch["txt_ids"],
+                jnp.full((2,), 0.5, jnp.float32), batch["y"], jnp.full((2,), 3.5, jnp.float32))
+        ref = flux_apply(params, cfg, *args)
+        sharded_cfg = dataclasses.replace(cfg, attn_shard_axes=("dp", "tp"))
+        mesh = make_mesh({"dp": 2, "tp": 4})
+        with jax.set_mesh(mesh):
+            out = flux_apply(params, sharded_cfg, *args)
+        # attention itself is exact (tests above); the shard_map boundary changes
+        # XLA's fusion order for the surrounding matmuls → f32 reassociation noise
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=1e-4)
+
+    def test_pipeline_sets_shard_axes_when_heads_divide(self):
+        """FluxPipeline with mesh tp>1 and use_pallas keeps the kernel via shard_map
+        instead of falling back to XLA attention."""
+        from .test_pipeline import make_pipeline
+
+        pipe = make_pipeline(mesh={"dp": 1, "tp": 2}, use_pallas=True, flow_dtype="float32")
+        assert pipe.model_cfg.attn_shard_axes is not None
+        assert pipe.model_cfg.use_pallas

@@ -23,7 +23,10 @@ from .helpers import (
 
 
 def make_pipeline(quant_kind=None, version=ModelVersion.flux_dev, **spec_overrides):
-    cfg, params = tiny_flux(compute_dtype=spec_overrides.get("flow_dtype", "bfloat16"))
+    cfg, params = tiny_flux(
+        compute_dtype=spec_overrides.get("flow_dtype", "bfloat16"),
+        use_pallas=spec_overrides.get("use_pallas", False),
+    )
     if quant_kind:
         params = quantize_flux_tree(params, kind=quant_kind)
     clip, t5 = tiny_text_encoders()
@@ -56,6 +59,32 @@ class TestGenerate:
         img = decode_jpeg(out)
         assert img.shape == (64, 64, 3)
         assert img.dtype == np.uint8
+
+    def test_device_uint8_decode_matches_host_normalization(self):
+        """vae_decode emits uint8 from the decode jit; its floor-based [-1,1]→byte
+        formula must byte-match ImageEncoder's host numpy truncation on every float,
+        including out-of-range values and exact byte boundaries."""
+        pipe = make_pipeline()
+        latents = jax.random.normal(
+            jax.random.PRNGKey(3), (1, 16, pipe.config.params.in_channels), jnp.float32
+        )
+        assert pipe.vae_decode(latents, 64, 64).dtype == np.uint8
+
+        # the exact device formula (pipeline.py _jit_ae_decode) vs the host one
+        # (image_encoder.py), on boundary-heavy inputs
+        f = np.concatenate(
+            [
+                np.linspace(-1.5, 1.5, 4001, dtype=np.float32),
+                (np.arange(256, dtype=np.float32) / 127.5) - 1.0,  # exact byte points
+            ]
+        )
+        dev = np.asarray(
+            jnp.floor(
+                jnp.clip((jnp.clip(jnp.asarray(f), -1.0, 1.0) + 1.0) * 127.5, 0.0, 255.0)
+            ).astype(jnp.uint8)
+        )
+        host = np.clip((np.clip(f, -1.0, 1.0) + 1.0) * 127.5, 0, 255).astype(np.uint8)
+        np.testing.assert_array_equal(dev, host)
 
     def test_seed_determinism_and_return_seed(self):
         pipe = make_pipeline()
