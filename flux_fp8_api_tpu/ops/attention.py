@@ -32,6 +32,32 @@ def _sdpa_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
 # (block_q, block_kv) preference order for the qk-norm kernel; picked by divisibility
 _QKNORM_BLOCKS = ((768, 1536), (512, 1024), (512, 512), (256, 512), (256, 256))
 
+# Measured-fastest (block_q, block_kv) per joint sequence length — TPU v5e, rope
+# fused, 24 folded heads (ablations in CLAUDE.md round-2 notes). The ranking is not
+# monotone in block size (e.g. at L=2816 square 704² beats 704×1408, while at L=4608
+# rectangular 768×1536 beats 1152²), so the common serving shapes are pinned here.
+_QKNORM_BLOCKS_MEASURED = {
+    4608: (768, 1536),  # 1024×1024 + 512 txt   2.61 ms/call (vs 2.74 square)
+    3392: (848, 1696),  # 1024×720  + 512       1.94 ms/call (vs 2.54 at (512,512)+mask)
+    2816: (704, 704),   # 768×768   + 512       1.76 ms/call (vs 2.76 at (256,256))
+}
+
+
+def _pick_blocks(l: int):
+    """Block pair for a joint seq of length l: measured table first; else the largest
+    square divisor ≤1280 (multiple of 8 — every ablated shape ran within a few % of
+    its best there, and exact division beats tail masking); else the legacy
+    preference list; else (512, 512) + in-kernel tail masking."""
+    if l in _QKNORM_BLOCKS_MEASURED:
+        return _QKNORM_BLOCKS_MEASURED[l]
+    for d in range(1280, 255, -8):
+        if l % d == 0:
+            return d, d
+    for cand in _QKNORM_BLOCKS:
+        if l % cand[0] == 0 and l % cand[1] == 0:
+            return cand
+    return 512, 512
+
 # Test/dev escape hatch: take the Pallas branch in interpret mode off-TPU, so the
 # shard_map tensor-parallel path is exercisable on the virtual CPU mesh (conftest).
 # Production never sets this; on TPU the kernel compiles for real.
@@ -78,12 +104,7 @@ def attention_core(
     if use_pallas and (jax.default_backend() == "tpu" or interpret):
         from .attention_kernel import qknorm_attention
 
-        # best divisible block pair, else (512, 512) with in-kernel tail masking
-        bq, bkv = 512, 512
-        for cand in _QKNORM_BLOCKS:
-            if l % cand[0] == 0 and l % cand[1] == 0:
-                bq, bkv = cand
-                break
+        bq, bkv = _pick_blocks(l)
         # fold batch into heads: (B, L, N, H) → (B*N, L, H)
         qh, kh, vh = (x.transpose(0, 2, 1, 3).reshape(b * n, l, h) for x in (q, k, v))
         cos2d = sin2d = None

@@ -209,3 +209,30 @@ class TestPacking:
         np.testing.assert_allclose(np.asarray(ids[0, :, 0]), 0.0)
         np.testing.assert_allclose(np.asarray(ids[0, :, 1]), [0, 0, 0, 1, 1, 1])
         np.testing.assert_allclose(np.asarray(ids[0, :, 2]), [0, 1, 2, 0, 1, 2])
+
+
+class TestAttentionBlockChooser:
+    """ops/attention._pick_blocks: measured table for serving shapes, exact square
+    divisors elsewhere, tail-masked fallback only when nothing divides."""
+
+    def test_measured_serving_shapes(self):
+        from flux_fp8_api_tpu.ops.attention import _pick_blocks
+
+        assert _pick_blocks(4608) == (768, 1536)  # 1024x1024
+        assert _pick_blocks(3392) == (848, 1696)  # 1024x720
+        assert _pick_blocks(2816) == (704, 704)   # 768x768
+
+    def test_square_divisor_fallback(self):
+        from flux_fp8_api_tpu.ops.attention import _pick_blocks
+
+        bq, bkv = _pick_blocks(4352)  # schnell 1024x1024 (256 txt tokens)
+        assert bq == bkv == 1088
+        assert 4352 % bq == 0
+        bq, bkv = _pick_blocks(1536)  # 512x512 + 512 txt
+        assert bq == bkv and 1536 % bq == 0 and bq >= 256
+
+    def test_masked_fallback_when_nothing_divides(self):
+        from flux_fp8_api_tpu.ops.attention import _pick_blocks
+
+        assert _pick_blocks(4104) == (456, 456)  # 8*513: largest square divisor
+        assert _pick_blocks(37) == (512, 512)    # prime-ish tiny: tail masking
