@@ -40,6 +40,9 @@ _QKNORM_BLOCKS_MEASURED = {
     4608: (768, 1536),  # 1024×1024 + 512 txt   2.61 ms/call (vs 2.74 square)
     3392: (848, 1696),  # 1024×720  + 512       1.94 ms/call (vs 2.54 at (512,512)+mask)
     2816: (704, 704),   # 768×768   + 512       1.76 ms/call (vs 2.76 at (256,256))
+    4352: (1088, 2176), # 1024×1024 + 256 (schnell)  2.60 (square 1088² is 2.64)
+    2560: (640, 1280),  # 768×768   + 256 (schnell)  1.50 (square 1280² is 1.58)
+    1536: (512, 1536),  # 512×512   + 512            1.13 (square 768² is 1.22)
 }
 
 

@@ -222,14 +222,18 @@ class TestAttentionBlockChooser:
         assert _pick_blocks(3392) == (848, 1696)  # 1024x720
         assert _pick_blocks(2816) == (704, 704)   # 768x768
 
+    def test_schnell_and_512_shapes_pinned(self):
+        from flux_fp8_api_tpu.ops.attention import _pick_blocks
+
+        assert _pick_blocks(4352) == (1088, 2176)  # schnell 1024x1024
+        assert _pick_blocks(2560) == (640, 1280)   # schnell 768x768
+        assert _pick_blocks(1536) == (512, 1536)   # 512x512
+
     def test_square_divisor_fallback(self):
         from flux_fp8_api_tpu.ops.attention import _pick_blocks
 
-        bq, bkv = _pick_blocks(4352)  # schnell 1024x1024 (256 txt tokens)
-        assert bq == bkv == 1088
-        assert 4352 % bq == 0
-        bq, bkv = _pick_blocks(1536)  # 512x512 + 512 txt
-        assert bq == bkv and 1536 % bq == 0 and bq >= 256
+        bq, bkv = _pick_blocks(3584)  # 1024x768 + 512 txt: unmeasured shape
+        assert bq == bkv == 896 and 3584 % bq == 0
 
     def test_masked_fallback_when_nothing_divides(self):
         from flux_fp8_api_tpu.ops.attention import _pick_blocks
