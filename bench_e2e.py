@@ -136,6 +136,8 @@ def main():
         i = argv.index("--flow")
         flow_kind = argv[i + 1]
         del argv[i : i + 2]
+        if flow_kind not in ("fp8", "fp8_exact", "int8", "int4"):
+            raise SystemExit(f"--flow {flow_kind}: expected fp8|fp8_exact|int8|int4")
     offload = "--offload" in argv
     if offload:
         argv.remove("--offload")

@@ -30,14 +30,13 @@ class ImageEncoder:
             x = np.asarray(x, dtype=np.float32)
         if x.ndim == 3:
             x = x[None]
-        imgs: List[np.ndarray] = []
-        for i in range(x.shape[0]):
-            if x.dtype == np.uint8:
-                imgs.append(x[i])
-                continue
-            arr = np.clip(x[i], -1.0, 1.0)
-            arr = np.clip((arr + 1.0) * 127.5, 0, 255).astype(np.uint8)
-            imgs.append(arr)
+        if x.dtype == np.uint8:
+            imgs: List[np.ndarray] = list(x)
+        else:
+            imgs = [
+                np.clip((np.clip(x[i], -1.0, 1.0) + 1.0) * 127.5, 0, 255).astype(np.uint8)
+                for i in range(x.shape[0])
+            ]
         stacked = imgs[0] if len(imgs) == 1 else np.vstack(imgs)
         im = Image.fromarray(stacked)
         buf = io.BytesIO()

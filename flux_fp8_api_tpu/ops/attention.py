@@ -29,9 +29,6 @@ def _sdpa_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     return jax.nn.dot_product_attention(q, k, v, implementation="xla").astype(dtype)
 
 
-# (block_q, block_kv) preference order for the qk-norm kernel; picked by divisibility
-_QKNORM_BLOCKS = ((768, 1536), (512, 1024), (512, 512), (256, 512), (256, 256))
-
 # Measured-fastest (block_q, block_kv) per joint sequence length — TPU v5e, rope
 # fused, 24 folded heads (ablations in CLAUDE.md round-2 notes). The ranking is not
 # monotone in block size (e.g. at L=2816 square 704² beats 704×1408, while at L=4608
@@ -49,16 +46,13 @@ _QKNORM_BLOCKS_MEASURED = {
 def _pick_blocks(l: int):
     """Block pair for a joint seq of length l: measured table first; else the largest
     square divisor ≤1280 (multiple of 8 — every ablated shape ran within a few % of
-    its best there, and exact division beats tail masking); else the legacy
-    preference list; else (512, 512) + in-kernel tail masking."""
+    its best there, and exact division beats tail masking); else (512, 512) +
+    in-kernel tail masking."""
     if l in _QKNORM_BLOCKS_MEASURED:
         return _QKNORM_BLOCKS_MEASURED[l]
     for d in range(1280, 255, -8):
         if l % d == 0:
             return d, d
-    for cand in _QKNORM_BLOCKS:
-        if l % cand[0] == 0 and l % cand[1] == 0:
-            return cand
     return 512, 512
 
 # Test/dev escape hatch: take the Pallas branch in interpret mode off-TPU, so the

@@ -112,18 +112,22 @@ class FluxPipeline:
                 # local heads, no collectives (attention has no cross-head math).
                 # Heads must divide the axis product; otherwise fall back to XLA's
                 # partitionable per-head attention.
+                # heads must divide the FULL non-trivial axis product: a partial
+                # ("tp",)-only shard_map with dp>1 would leave dp unmentioned and
+                # all-gather q/k/v across it per attention call — worse than the XLA
+                # fallback, which keeps both dp and tp shardings via GSPMD.
                 n_heads = self.model_cfg.num_heads
                 axes = tuple(
-                    a for a in ("dp", "tp") if a in self.mesh.axis_names and self.mesh.shape[a] > 0
+                    a for a in ("dp", "tp") if a in self.mesh.axis_names and self.mesh.shape[a] > 1
                 )
-                for cand in (axes, ("tp",)):
-                    if n_heads % int(np.prod([self.mesh.shape[a] for a in cand])) == 0:
-                        self.model_cfg = dataclasses.replace(self.model_cfg, attn_shard_axes=cand)
-                        logger.info(f"mesh serving: Pallas attention shard_map over {cand}")
-                        break
+                if n_heads % int(np.prod([self.mesh.shape[a] for a in axes])) == 0:
+                    self.model_cfg = dataclasses.replace(self.model_cfg, attn_shard_axes=axes)
+                    logger.info(f"mesh serving: Pallas attention shard_map over {axes}")
                 else:
                     self.model_cfg = dataclasses.replace(self.model_cfg, use_pallas=False)
-                    logger.info("mesh tp>1: heads don't divide tp — using XLA attention")
+                    logger.info(
+                        "mesh: heads don't divide the mesh axes — using XLA attention"
+                    )
 
         self.model_params = (
             jax.device_put(model, self._host)

@@ -118,7 +118,13 @@ def flux_from_pretrained(config_path: str, **overrides):
 
     config = load_config_from_path(config_path)
     if overrides:
-        config = config.model_copy(update=overrides)
+        # re-validate rather than model_copy(update=...): the latter skips pydantic
+        # validation, so a typo'd field name ("ckpt" for "ckpt_path") would silently
+        # load random-init weights, and enum-typed values would stay raw strings
+        unknown = set(overrides) - set(ModelSpec.model_fields)
+        if unknown:
+            raise ValueError(f"unknown ModelSpec override(s): {sorted(unknown)}")
+        config = ModelSpec.model_validate({**config.model_dump(), **overrides})
     return load_flow_model(config)
 
 

@@ -256,3 +256,13 @@ class TestShardMapPallasAttention:
         pipe = make_pipeline(mesh={"dp": 1, "tp": 2}, use_pallas=True, flow_dtype="float32")
         assert pipe.model_cfg.attn_shard_axes is not None
         assert pipe.model_cfg.use_pallas
+
+    def test_pipeline_falls_back_to_xla_when_heads_dont_divide(self):
+        """Partial sharding (e.g. tp only with dp>1, or heads % axes != 0) must NOT
+        shard_map — it would all-gather q/k/v over the unmentioned axis. The pipeline
+        disables the kernel and lets GSPMD partition XLA attention instead."""
+        from .test_pipeline import make_pipeline
+
+        pipe = make_pipeline(mesh={"dp": 2, "tp": 4}, use_pallas=True, flow_dtype="float32")
+        assert pipe.model_cfg.attn_shard_axes is None  # 4 heads % (2*4) != 0
+        assert not pipe.model_cfg.use_pallas
