@@ -52,7 +52,25 @@ def parse_args(argv=None):
     parser.add_argument("--compilation-cache-dir", type=str, default=None,
                         help="Persistent XLA compilation cache: server restarts skip "
                              "the 20-60s serving-bucket compiles")
+    parser.add_argument("--mesh", type=str, default=None,
+                        help="Multi-chip serving mesh, e.g. 'dp=1,tp=4': shards the "
+                             "flow over (data, tensor) parallel axes (TPU extension; "
+                             "overrides the config file's mesh field)")
     return parser.parse_args(argv)
+
+
+def parse_mesh(spec: str):
+    """'dp=1,tp=4' → {"dp": 1, "tp": 4} (preserving axis order)."""
+    mesh = {}
+    for part in spec.split(","):
+        axis, _, size = part.partition("=")
+        if not axis or not size:
+            raise SystemExit(f"--mesh {spec!r}: expected comma-separated axis=size pairs")
+        try:
+            mesh[axis.strip()] = int(size)
+        except ValueError:
+            raise SystemExit(f"--mesh {spec!r}: size for axis {axis!r} is not an integer")
+    return mesh
 
 
 def main():
@@ -65,6 +83,8 @@ def main():
     overrides = {}
     if args.compilation_cache_dir:
         overrides["compilation_cache_dir"] = args.compilation_cache_dir
+    if args.mesh:
+        overrides["mesh"] = parse_mesh(args.mesh)
     if args.config_path:
         pipeline = FluxPipeline.load_pipeline_from_config_path(
             args.config_path, flow_model_path=args.flow_model_path, **overrides

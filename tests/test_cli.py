@@ -52,3 +52,26 @@ class TestQuantSpelling:
     def test_bf16_disables_text_enc_quant(self):
         spec = load_config(ModelVersion.flux_dev, quant_text_enc=None)
         assert spec.text_enc_quantization_dtype is None
+
+
+class TestMeshFlag:
+    def test_parse_mesh(self):
+        from flux_fp8_api_tpu.main import parse_mesh
+
+        assert parse_mesh("dp=1,tp=4") == {"dp": 1, "tp": 4}
+        assert list(parse_mesh("tp=2,dp=4")) == ["tp", "dp"]  # axis order kept
+
+    def test_parse_mesh_rejects_garbage(self):
+        import pytest
+
+        from flux_fp8_api_tpu.main import parse_mesh
+
+        with pytest.raises(SystemExit):
+            parse_mesh("dp:1")
+        with pytest.raises(SystemExit):
+            parse_mesh("dp=one")
+
+    def test_flag_reaches_args(self):
+        args = parse_args(["--mesh", "dp=1,tp=2"])
+        assert args.mesh == "dp=1,tp=2"
+        assert parse_args([]).mesh is None
