@@ -266,3 +266,22 @@ class TestShardMapPallasAttention:
         pipe = make_pipeline(mesh={"dp": 2, "tp": 4}, use_pallas=True, flow_dtype="float32")
         assert pipe.model_cfg.attn_shard_axes is None  # 4 heads % (2*4) != 0
         assert not pipe.model_cfg.use_pallas
+
+
+class TestLoraUnderMesh:
+    def test_fuse_preserves_gspmd_sharding(self):
+        """LoRA dequant->fuse->requant on mesh-sharded quantized leaves must leave the
+        params sharded (XLA propagates the NamedSharding through the fuse ops) — a
+        replicated result would silently reshard on every denoise step."""
+        from .test_lora import make_kohya_lora
+        from .test_pipeline import decode_jpeg, make_pipeline
+
+        pipe = make_pipeline(quant_kind="int8", mesh={"dp": 1, "tp": 2})
+        pipe.load_lora(make_kohya_lora(), scale=1.0, name="l1")
+        leaf = pipe.model_params["double_blocks"]["img_attn_qkv"].q
+        assert leaf.sharding.spec == P(None, None, "tp")
+        out = pipe.generate(prompt="a cat", width=64, height=64, num_steps=1, seed=0, silent=True)
+        assert decode_jpeg(out).shape == (64, 64, 3)
+        pipe.unload_lora("l1")
+        leaf = pipe.model_params["double_blocks"]["img_attn_qkv"].q
+        assert leaf.sharding.spec == P(None, None, "tp")
