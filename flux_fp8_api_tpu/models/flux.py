@@ -71,6 +71,8 @@ class FluxStatic:
     # mesh axes to shard the attention kernel's folded batch·head axis over
     # (ops/attention.py shard_map path); None = single-chip / GSPMD-only
     attn_shard_axes: Optional[Tuple[str, ...]] = None
+    # mesh axis for sequence/context parallelism: q rows shard, kv gathered
+    attn_seq_axis: Optional[str] = None
 
     @classmethod
     def from_params(
@@ -333,7 +335,8 @@ def _double_block(cfg: FluxStatic, blk, img, txt, vec_silu, cos, sin, tape: _Tap
     q = jnp.concatenate([txt_q, img_q], axis=1)
     k = jnp.concatenate([txt_k, img_k], axis=1)
     v = jnp.concatenate([txt_v, img_v], axis=1)
-    attn = attention(q, k, v, cos, sin, use_pallas=cfg.use_pallas, shard_axes=cfg.attn_shard_axes)
+    attn = attention(q, k, v, cos, sin, use_pallas=cfg.use_pallas,
+                     shard_axes=cfg.attn_shard_axes, seq_axis=cfg.attn_seq_axis)
     txt_attn, img_attn = attn[:, :txt_len], attn[:, txt_len:]
 
     img = img + i_gate1 * tape.lin("img_attn_proj", blk["img_attn_proj"], img_attn, dtype)
@@ -376,7 +379,8 @@ def _single_block(cfg: FluxStatic, blk, x, vec_silu, cos, sin, tape: _Tape):
     q, k, v = _split_qkv(qkv, n)
     q = rms_norm(q, blk["qnorm"])
     k = rms_norm(k, blk["knorm"])
-    attn = attention(q, k, v, cos, sin, use_pallas=cfg.use_pallas, shard_axes=cfg.attn_shard_axes)
+    attn = attention(q, k, v, cos, sin, use_pallas=cfg.use_pallas,
+                     shard_axes=cfg.attn_shard_axes, seq_axis=cfg.attn_seq_axis)
 
     out = tape.lin(
         "linear2", blk["linear2"], jnp.concatenate([attn, gelu_tanh(mlp)], axis=-1), dtype

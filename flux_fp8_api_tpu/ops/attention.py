@@ -55,6 +55,21 @@ def _pick_blocks(l: int):
             return d, d
     return 512, 512
 
+
+def _largest_divisor(l: int, cap: int) -> int:
+    for d in range(cap, 7, -8):
+        if l % d == 0:
+            return d
+    return min(l, cap)  # nothing divides → kernel tail-masks the padding
+
+
+def _pick_blocks_rect(lq: int, lkv: int):
+    """Blocks for a rectangular (sequence-parallel) call: q rows are a shard, kv is
+    the full sequence. Square lengths defer to the measured table."""
+    if lq == lkv:
+        return _pick_blocks(lq)
+    return _largest_divisor(lq, 768), _largest_divisor(lkv, 1536)
+
 # Test/dev escape hatch: take the Pallas branch in interpret mode off-TPU, so the
 # shard_map tensor-parallel path is exercisable on the virtual CPU mesh (conftest).
 # Production never sets this; on TPU the kernel compiles for real.
@@ -69,6 +84,7 @@ def attention_core(
     cos: jnp.ndarray = None,
     sin: jnp.ndarray = None,
     shard_axes=None,
+    seq_axis=None,
 ) -> jnp.ndarray:
     """Softmax attention over the full (txt+img) joint sequence, optionally with the
     RoPE rotation fused in.
@@ -92,6 +108,12 @@ def attention_core(
         its own). Requires an ambient mesh (``jax.set_mesh``) and B·N divisible by
         the product of the named axis sizes; each device runs the unmodified kernel
         on its local heads — attention has no cross-head math, so no collectives.
+      seq_axis: mesh-axis name (e.g. ``"sp"``) for sequence/context parallelism: q is
+        sharded along L, each device runs its q shard against the FULL kv (XLA
+        all-gathers k/v at the shard_map boundary when they arrive L-sharded). The
+        max-free kernel needs no online-softmax rebasing across shards because every
+        device sees all keys for its queries. Composes with ``shard_axes``. Requires
+        L divisible by the sp axis size.
     Returns:
       (B, L, N, H) in q.dtype.
     """
@@ -101,7 +123,6 @@ def attention_core(
     if use_pallas and (jax.default_backend() == "tpu" or interpret):
         from .attention_kernel import qknorm_attention
 
-        bq, bkv = _pick_blocks(l)
         # fold batch into heads: (B, L, N, H) → (B*N, L, H)
         qh, kh, vh = (x.transpose(0, 2, 1, 3).reshape(b * n, l, h) for x in (q, k, v))
         cos2d = sin2d = None
@@ -109,27 +130,40 @@ def attention_core(
             cos2d = cos[0, :, 0, :] if cos.ndim == 4 else cos
             sin2d = sin[0, :, 0, :] if sin.ndim == 4 else sin
 
-        def run(qh, kh, vh, cos2d, sin2d):
-            rope = {} if cos2d is None else dict(cos=cos2d, sin=sin2d)
+        def run(qh, kh, vh, cosq, sinq, cosk, sink):
+            # block choice from LOCAL shapes: under shard_map the mapped fn traces
+            # with per-device shards, so lq here is l/sp and lkv the full l
+            bq, bkv = _pick_blocks_rect(qh.shape[1], kh.shape[1])
+            rope = {}
+            if cosk is not None:
+                rope = dict(cos=cosk, sin=sink, cos_q=cosq, sin_q=sinq)
             return qknorm_attention(
                 qh, kh, vh, sm_scale, block_q=bq, block_kv=bkv, interpret=interpret, **rope
             )
 
-        if shard_axes:
+        if shard_axes or seq_axis:
             from jax.sharding import PartitionSpec as P
 
-            head_spec, rep = P(tuple(shard_axes)), P()
-            args = (qh, kh, vh) if cos2d is None else (qh, kh, vh, cos2d, sin2d)
-            fn = (lambda q_, k_, v_: run(q_, k_, v_, None, None)) if cos2d is None else run
-            sharded = jax.shard_map(
+            head = tuple(shard_axes) if shard_axes else None
+            q_spec = P(head, seq_axis)   # q (and out): heads over tp/dp, rows over sp
+            kv_spec = P(head)            # kv: full sequence on every device
+            qrope_spec, krope_spec = P(seq_axis), P()
+            args = (qh, kh, vh)
+            specs = (q_spec, kv_spec, kv_spec)
+            if cos2d is None:
+                fn = lambda q_, k_, v_: run(q_, k_, v_, None, None, None, None)
+            else:
+                fn = run
+                args += (cos2d, sin2d, cos2d, sin2d)
+                specs += (qrope_spec, qrope_spec, krope_spec, krope_spec)
+            out = jax.shard_map(
                 fn,
-                in_specs=(head_spec,) * 3 + ((rep, rep) if cos2d is not None else ()),
-                out_specs=head_spec,
+                in_specs=specs,
+                out_specs=q_spec,
                 check_vma=False,  # pallas_call outputs carry no vma info
-            )
-            out = sharded(*args)
+            )(*args)
         else:
-            out = run(qh, kh, vh, cos2d, sin2d)
+            out = run(qh, kh, vh, cos2d, sin2d, cos2d, sin2d)
         return out.reshape(b, n, l, h).transpose(0, 2, 1, 3).astype(q.dtype)
     if cos is not None:
         q, k = apply_rope(q, k, cos, sin)
@@ -144,6 +178,7 @@ def attention(
     sin: jnp.ndarray,
     use_pallas: bool = True,
     shard_axes=None,
+    seq_axis=None,
 ) -> jnp.ndarray:
     """RoPE + SDPA + head merge (reference ``attention``, flux_model.py:41-45).
 
@@ -159,5 +194,8 @@ def attention(
       (B, L, N*H) — heads merged, matching the reference's reshape.
     """
     b, l, n, h = q.shape
-    x = attention_core(q, k, v, use_pallas=use_pallas, cos=cos, sin=sin, shard_axes=shard_axes)
+    x = attention_core(
+        q, k, v, use_pallas=use_pallas, cos=cos, sin=sin,
+        shard_axes=shard_axes, seq_axis=seq_axis,
+    )
     return x.reshape(b, l, n * h)

@@ -133,38 +133,56 @@ def qknorm_attention(
     return_max_logit: bool = False,
     cos: jnp.ndarray = None,
     sin: jnp.ndarray = None,
+    cos_q: jnp.ndarray = None,
+    sin_q: jnp.ndarray = None,
 ) -> jnp.ndarray:
-    """(H, L, D) q/k/v → (H, L, D) attention output (single batch folded into heads).
+    """(H, Lq, D) q × (H, Lkv, D) k/v → (H, Lq, D) attention output (batch folded
+    into heads). Lq == Lkv in single-chip serving; they differ under sequence/context
+    parallelism, where each device holds a q shard against the full kv.
 
-    L that doesn't divide the blocks is zero-padded; the kernel masks the padded key
-    columns in the tail kv block (padded *query* rows produce garbage rows that are
-    sliced away — they never mix into valid outputs).
+    Lengths that don't divide the blocks are zero-padded; the kernel masks the padded
+    key columns in the tail kv block (padded *query* rows produce garbage rows that
+    are sliced away — they never mix into valid outputs).
 
-    ``cos``/``sin`` ((L, D) fp32, half-split layout — ops/rope.py) fuse the RoPE
+    ``cos``/``sin`` ((Lkv, D) fp32, half-split layout — ops/rope.py) fuse the RoPE
     rotation into the kernel: q/k tiles rotate in VMEM registers as they stream in,
     removing the separate XLA rope pass (two full q/k HBM round trips per attention).
-    The rotation recomputes per (q-block, kv-block) revisit — a few µs of VPU against
-    the exp-bound softmax.
+    ``cos_q``/``sin_q`` ((Lq, D)) override the q-side tables when the q rows cover
+    different positions than the kv rows (sequence-parallel shards); they default to
+    ``cos``/``sin``. The rotation recomputes per (q-block, kv-block) revisit — a few
+    µs of VPU against the exp-bound softmax.
 
     ``return_max_logit=True`` selects the stats build, which additionally returns the
     scalar ``max |q·k·sm_scale|`` over the whole attention — the guard-rail input for
     :func:`qknorm_attention_checked`. The serving build carries no tracking cost.
     """
-    h, l, d = q.shape
+    h, lq, d = q.shape
+    lkv = k.shape[1]
     fuse_rope = cos is not None
-    valid_len = l
-    pad = (-l) % max(block_q, block_kv)
-    if pad:
-        zeros = jnp.zeros((h, pad, d), q.dtype)
+    if fuse_rope:
+        cos_q = cos if cos_q is None else cos_q
+        sin_q = sin if sin_q is None else sin_q
+    valid_q = lq
+    valid_len = lkv
+    pad_q = (-lq) % block_q
+    if pad_q:
+        zeros = jnp.zeros((h, pad_q, d), q.dtype)
         q = jnp.concatenate([q, zeros], axis=1)
+        if fuse_rope:
+            cos_q = jnp.concatenate([cos_q, jnp.ones((pad_q, d), cos_q.dtype)], axis=0)
+            sin_q = jnp.concatenate([sin_q, jnp.zeros((pad_q, d), sin_q.dtype)], axis=0)
+        lq = lq + pad_q
+    pad_kv = (-lkv) % block_kv
+    if pad_kv:
+        zeros = jnp.zeros((h, pad_kv, d), k.dtype)
         k = jnp.concatenate([k, zeros], axis=1)
         v = jnp.concatenate([v, zeros], axis=1)
         if fuse_rope:
-            # identity rotation on pad rows (their q/k are zero anyway)
-            cos = jnp.concatenate([cos, jnp.ones((pad, d), cos.dtype)], axis=0)
-            sin = jnp.concatenate([sin, jnp.zeros((pad, d), sin.dtype)], axis=0)
-        l = l + pad
-    grid = (h, l // block_q, l // block_kv)
+            # identity rotation on pad rows (their k are zero anyway)
+            cos = jnp.concatenate([cos, jnp.ones((pad_kv, d), cos.dtype)], axis=0)
+            sin = jnp.concatenate([sin, jnp.zeros((pad_kv, d), sin.dtype)], axis=0)
+        lkv = lkv + pad_kv
+    grid = (h, lq // block_q, lkv // block_kv)
     kern = functools.partial(
         _attn_kernel,
         sm_scale=sm_scale,
@@ -186,16 +204,18 @@ def qknorm_attention(
             pl.BlockSpec((block_kv, d), lambda h, i, j: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_kv, d), lambda h, i, j: (j, 0), memory_space=pltpu.VMEM),
         ]
-        cos32, sin32 = cos.astype(jnp.float32), sin.astype(jnp.float32)
-        operands += [cos32, sin32, cos32, sin32]
-    out_shape = [jax.ShapeDtypeStruct((h, l, d), q.dtype)]
+        operands += [
+            cos_q.astype(jnp.float32), sin_q.astype(jnp.float32),
+            cos.astype(jnp.float32), sin.astype(jnp.float32),
+        ]
+    out_shape = [jax.ShapeDtypeStruct((h, lq, d), q.dtype)]
     out_specs = [
         pl.BlockSpec((1, block_q, d), lambda h, i, j: (h, i, 0), memory_space=pltpu.VMEM)
     ]
     if return_max_logit:
         # stats ride a full (8, 128) VMEM tile per (head, q-block) — Mosaic's minimum
         # f32 tile; ~4KB/head of waste, reduced to one scalar by the wrapper
-        out_shape.append(jax.ShapeDtypeStruct((h, l // block_q, 8, 128), jnp.float32))
+        out_shape.append(jax.ShapeDtypeStruct((h, lq // block_q, 8, 128), jnp.float32))
         out_specs.append(
             pl.BlockSpec((1, 1, 8, 128), lambda h, i, j: (h, i, 0, 0), memory_space=pltpu.VMEM)
         )
@@ -213,18 +233,18 @@ def qknorm_attention(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=4 * h * l * l * d,
-            bytes_accessed=2 * h * l * d * 4,
-            transcendentals=h * l * l,
+            flops=4 * h * lq * lkv * d,
+            bytes_accessed=h * (lq + lkv) * d * 4,
+            transcendentals=h * lq * lkv,
         ),
         interpret=interpret,
     )(*operands)
     if return_max_logit:
         out, m = res
-        out = out[:, :valid_len] if pad else out
+        out = out[:, :valid_q] if pad_q else out
         return out, jnp.max(m)
     out = res[0]
-    return out[:, :valid_len] if pad else out
+    return out[:, :valid_q] if pad_q else out
 
 
 def qknorm_attention_checked(

@@ -105,14 +105,16 @@ class FluxPipeline:
             from .parallel.mesh import make_mesh
 
             self.mesh = make_mesh(dict(config.mesh))
-            if dict(config.mesh).get("tp", 1) > 1 and self.model_cfg is not None and self.model_cfg.use_pallas:
+            mesh_spec = dict(config.mesh)
+            needs_attn_sharding = (
+                mesh_spec.get("tp", 1) > 1 or mesh_spec.get("sp", 1) > 1
+            )
+            if needs_attn_sharding and self.model_cfg is not None and self.model_cfg.use_pallas:
                 # GSPMD cannot partition the Pallas attention custom call on its own;
                 # shard its folded batch·head axis explicitly over the mesh via
                 # shard_map (ops/attention.py) — each chip runs the kernel on its
                 # local heads, no collectives (attention has no cross-head math).
-                # Heads must divide the axis product; otherwise fall back to XLA's
-                # partitionable per-head attention.
-                # heads must divide the FULL non-trivial axis product: a partial
+                # heads must divide the FULL non-trivial head-axis product: a partial
                 # ("tp",)-only shard_map with dp>1 would leave dp unmentioned and
                 # all-gather q/k/v across it per attention call — worse than the XLA
                 # fallback, which keeps both dp and tp shardings via GSPMD.
@@ -121,8 +123,18 @@ class FluxPipeline:
                     a for a in ("dp", "tp") if a in self.mesh.axis_names and self.mesh.shape[a] > 1
                 )
                 if n_heads % int(np.prod([self.mesh.shape[a] for a in axes])) == 0:
-                    self.model_cfg = dataclasses.replace(self.model_cfg, attn_shard_axes=axes)
-                    logger.info(f"mesh serving: Pallas attention shard_map over {axes}")
+                    # "sp" axis → sequence/context parallelism on top of head
+                    # sharding: q rows split over sp, kv gathered per device
+                    # (ops/attention.py seq_axis). Resolutions must keep the joint
+                    # seq divisible by the sp size.
+                    seq = "sp" if self.mesh.shape.get("sp", 1) > 1 else None
+                    self.model_cfg = dataclasses.replace(
+                        self.model_cfg, attn_shard_axes=axes, attn_seq_axis=seq
+                    )
+                    logger.info(
+                        f"mesh serving: Pallas attention shard_map over {axes}"
+                        + (f" + seq over {seq}" if seq else "")
+                    )
                 else:
                     self.model_cfg = dataclasses.replace(self.model_cfg, use_pallas=False)
                     logger.info(

@@ -168,3 +168,51 @@ class TestMaxLogitGuard:
             q, k, v, 32**-0.5, block_q=128, block_kv=128, interpret=True, return_max_logit=True
         )
         assert float(m) > MAX_SAFE_LOGIT
+
+
+class TestRectangularQ:
+    """Lq != Lkv: each device's q shard against full kv (sequence parallelism)."""
+
+    def test_q_shard_matches_full_rows(self):
+        h, l, d = 2, 512, 32
+        ks = jax.random.split(jax.random.PRNGKey(3), 3)
+        q, k = _normed(ks[0], (h, l, d)), _normed(ks[1], (h, l, d))
+        v = jax.random.normal(ks[2], (h, l, d), jnp.float32)
+        scale = d**-0.5
+        full = qknorm_attention(q, k, v, scale, block_q=128, block_kv=256, interpret=True)
+        shard = qknorm_attention(
+            q[:, 128:384], k, v, scale, block_q=128, block_kv=256, interpret=True
+        )
+        np.testing.assert_allclose(np.asarray(shard), np.asarray(full[:, 128:384]), rtol=1e-6)
+
+    def test_q_shard_with_rope_tables(self):
+        """cos_q/sin_q carry the shard's positions; must match the full fused run."""
+        h, l, d = 2, 384, 32
+        ks = jax.random.split(jax.random.PRNGKey(4), 5)
+        q, k = _normed(ks[0], (h, l, d)), _normed(ks[1], (h, l, d))
+        v = jax.random.normal(ks[2], (h, l, d), jnp.float32)
+        ang = jax.random.uniform(ks[3], (l, d // 2), jnp.float32, 0, 3.14)
+        cos = jnp.repeat(jnp.cos(ang), 2, -1)
+        sin = jnp.repeat(jnp.sin(ang), 2, -1)
+        scale = d**-0.5
+        full = qknorm_attention(
+            q, k, v, scale, block_q=128, block_kv=128, interpret=True, cos=cos, sin=sin
+        )
+        shard = qknorm_attention(
+            q[:, 128:256], k, v, scale, block_q=128, block_kv=128, interpret=True,
+            cos=cos, sin=sin, cos_q=cos[128:256], sin_q=sin[128:256],
+        )
+        np.testing.assert_allclose(np.asarray(shard), np.asarray(full[:, 128:256]), rtol=1e-6)
+
+    def test_q_shard_with_kv_tail_masking(self):
+        """Non-aligned kv length still masks correctly when q is a shard."""
+        h, l, d = 2, 300, 32
+        ks = jax.random.split(jax.random.PRNGKey(5), 3)
+        q, k = _normed(ks[0], (h, l, d)), _normed(ks[1], (h, l, d))
+        v = jax.random.normal(ks[2], (h, l, d), jnp.float32)
+        scale = d**-0.5
+        full = qknorm_attention(q, k, v, scale, block_q=128, block_kv=128, interpret=True)
+        shard = qknorm_attention(
+            q[:, 100:200], k, v, scale, block_q=128, block_kv=128, interpret=True
+        )
+        np.testing.assert_allclose(np.asarray(shard), np.asarray(full[:, 100:200]), rtol=1e-6)

@@ -285,3 +285,80 @@ class TestLoraUnderMesh:
         pipe.unload_lora("l1")
         leaf = pipe.model_params["double_blocks"]["img_attn_qkv"].q
         assert leaf.sharding.spec == P(None, None, "tp")
+
+
+class TestSequenceParallelAttention:
+    """Context parallelism: q rows shard over "sp", each device runs its q shard
+    against the full kv — the max-free softmax needs no cross-shard rebasing."""
+
+    def _qkv(self, b=1, n=4, l=256, h=64, rope=True):
+        ks = jax.random.split(jax.random.PRNGKey(1), 5)
+        q, k, v = (jax.random.normal(ks[i], (b, l, n, h), jnp.float32) for i in range(3))
+        q = q / jnp.linalg.norm(q, axis=-1, keepdims=True) * (h**0.5)
+        k = k / jnp.linalg.norm(k, axis=-1, keepdims=True) * (h**0.5)
+        if not rope:
+            return q, k, v, None, None
+        ang = jax.random.uniform(ks[3], (l, h // 2), jnp.float32, 0, 3.14)
+        cos = jnp.repeat(jnp.cos(ang), 2, -1).reshape(1, l, 1, h) * jnp.ones((b, 1, 1, 1))
+        sin = jnp.repeat(jnp.sin(ang), 2, -1).reshape(1, l, 1, h) * jnp.ones((b, 1, 1, 1))
+        return q, k, v, cos, sin
+
+    def test_seq_only_matches_unsharded(self, monkeypatch):
+        import flux_fp8_api_tpu.ops.attention as attn_mod
+
+        monkeypatch.setattr(attn_mod, "FORCE_PALLAS_INTERPRET", True)
+        q, k, v, cos, sin = self._qkv()
+        ref = attn_mod.attention(q, k, v, cos, sin, use_pallas=True)
+        mesh = make_mesh({"sp": 4})
+        with jax.set_mesh(mesh):
+            out = attn_mod.attention(q, k, v, cos, sin, use_pallas=True, seq_axis="sp")
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    def test_head_plus_seq_axes(self, monkeypatch):
+        import flux_fp8_api_tpu.ops.attention as attn_mod
+
+        monkeypatch.setattr(attn_mod, "FORCE_PALLAS_INTERPRET", True)
+        q, k, v, cos, sin = self._qkv()
+        ref = attn_mod.attention(q, k, v, cos, sin, use_pallas=True)
+        mesh = make_mesh({"tp": 2, "sp": 4})
+        with jax.set_mesh(mesh):
+            out = attn_mod.attention(
+                q, k, v, cos, sin, use_pallas=True, shard_axes=("tp",), seq_axis="sp"
+            )
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    def test_flux_apply_under_sp(self, monkeypatch):
+        import dataclasses
+
+        import flux_fp8_api_tpu.ops.attention as attn_mod
+
+        monkeypatch.setattr(attn_mod, "FORCE_PALLAS_INTERPRET", True)
+        cfg = dataclasses.replace(
+            FluxStatic.from_params(PARAMS, compute_dtype="float32"), use_pallas=True
+        )
+        params = init_flux_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+        batch = make_dummy_batch(cfg, batch=1, h_latent=8, w_latent=8, txt_len=16,
+                                 key=jax.random.PRNGKey(7))
+        args = (batch["latents"], batch["img_ids"], batch["txt"], batch["txt_ids"],
+                jnp.full((1,), 0.5, jnp.float32), batch["y"], jnp.full((1,), 3.5, jnp.float32))
+        ref = flux_apply(params, cfg, *args)
+        sp_cfg = dataclasses.replace(cfg, attn_shard_axes=("tp",), attn_seq_axis="sp")
+        mesh = make_mesh({"tp": 2, "sp": 4})
+        with jax.set_mesh(mesh):
+            out = flux_apply(params, sp_cfg, *args)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=1e-4)
+
+    def test_pipeline_generate_with_sp_mesh(self, monkeypatch):
+        import flux_fp8_api_tpu.ops.attention as attn_mod
+
+        monkeypatch.setattr(attn_mod, "FORCE_PALLAS_INTERPRET", True)
+        from .test_pipeline import decode_jpeg, make_pipeline
+
+        kwargs = dict(prompt="a cat", width=64, height=64, num_steps=2, seed=5, silent=True)
+        ref = decode_jpeg(make_pipeline(flow_dtype="float32").generate(**kwargs))
+        pipe = make_pipeline(
+            flow_dtype="float32", use_pallas=True, mesh={"dp": 1, "tp": 2, "sp": 2}
+        )
+        assert pipe.model_cfg.attn_seq_axis == "sp"
+        out = decode_jpeg(pipe.generate(**kwargs))
+        assert np.mean(np.abs(out.astype(np.int16) - ref.astype(np.int16))) < 1.0
