@@ -60,7 +60,10 @@ def _largest_divisor(l: int, cap: int) -> int:
     for d in range(cap, 7, -8):
         if l % d == 0:
             return d
-    return min(l, cap)  # nothing divides → kernel tail-masks the padding
+    # nothing divides: fall back to an ALIGNED block — the kernel zero-pads q rows
+    # and tail-masks kv columns, but an unaligned block shape itself would not tile
+    # onto Mosaic's (8, 128) VMEM layout on real TPU
+    return 512
 
 
 def _pick_blocks_rect(lq: int, lkv: int):

@@ -104,8 +104,8 @@ class FluxPipeline:
         if config.mesh:
             from .parallel.mesh import make_mesh
 
-            self.mesh = make_mesh(dict(config.mesh))
             mesh_spec = dict(config.mesh)
+            self.mesh = make_mesh(mesh_spec)
             needs_attn_sharding = (
                 mesh_spec.get("tp", 1) > 1 or mesh_spec.get("sp", 1) > 1
             )
@@ -120,14 +120,14 @@ class FluxPipeline:
                 # fallback, which keeps both dp and tp shardings via GSPMD.
                 n_heads = self.model_cfg.num_heads
                 axes = tuple(
-                    a for a in ("dp", "tp") if a in self.mesh.axis_names and self.mesh.shape[a] > 1
+                    a for a in ("dp", "tp") if mesh_spec.get(a, 1) > 1
                 )
-                if n_heads % int(np.prod([self.mesh.shape[a] for a in axes])) == 0:
+                if n_heads % int(np.prod([mesh_spec[a] for a in axes])) == 0:
                     # "sp" axis → sequence/context parallelism on top of head
                     # sharding: q rows split over sp, kv gathered per device
-                    # (ops/attention.py seq_axis). Resolutions must keep the joint
-                    # seq divisible by the sp size.
-                    seq = "sp" if self.mesh.shape.get("sp", 1) > 1 else None
+                    # (ops/attention.py seq_axis). Requests whose joint seq doesn't
+                    # divide sp drop the seq axis per-call (_denoise_cfg).
+                    seq = "sp" if mesh_spec.get("sp", 1) > 1 else None
                     self.model_cfg = dataclasses.replace(
                         self.model_cfg, attn_shard_axes=axes, attn_seq_axis=seq
                     )
@@ -185,6 +185,21 @@ class FluxPipeline:
             self.compile()
 
     # ---------------------------------------------------------------------- placement
+
+    def _denoise_cfg(self, joint_seq_len: int) -> FluxStatic:
+        """Per-request model cfg: drop the sequence-parallel axis when this request's
+        joint (txt+img) sequence doesn't divide the sp size — shard_map would raise a
+        trace-time divisibility error, where head sharding alone still works."""
+        cfg = self.model_cfg
+        if cfg.attn_seq_axis and self.mesh is not None:
+            sp = self.mesh.shape.get(cfg.attn_seq_axis, 1)
+            if joint_seq_len % sp != 0:
+                logger.info(
+                    f"joint seq {joint_seq_len} doesn't divide sp={sp}: "
+                    "head-sharded attention only for this request"
+                )
+                return dataclasses.replace(cfg, attn_seq_axis=None)
+        return cfg
 
     def _mesh_ctx(self):
         """Ambient-mesh context for the denoise region: the attention shard_map
@@ -360,12 +375,13 @@ class FluxPipeline:
 
     # -------------------------------------------------------------------- calibration
 
-    def _calibration_denoise(self, img, img_ids, txt, txt_ids, vec, timesteps, guidance, silent):
+    def _calibration_denoise(self, img, img_ids, txt, txt_ids, vec, timesteps, guidance, silent, cfg=None):
         """Per-step loop that accumulates amax trials and freezes input scales after
         num_scale_trials steps (the reference's warmup protocol, float8_quantize.py:220-246
         + flux_pipeline.py:191-212)."""
-        step_collect = make_denoise_step(self.model_cfg, collect_amax=True)
-        step_plain = make_denoise_step(self.model_cfg)
+        cfg = cfg or self.model_cfg
+        step_collect = make_denoise_step(cfg, collect_amax=True)
+        step_plain = make_denoise_step(cfg)
         iterator = list(zip(timesteps[:-1], timesteps[1:]))
         if not silent:
             from tqdm import tqdm
@@ -431,10 +447,12 @@ class FluxPipeline:
             self.model_params = self._place_flow(self.model_params)
 
         t_denoise = time.perf_counter()
+        run_cfg = self._denoise_cfg(img.shape[1] + txt.shape[1])
         with self._mesh_ctx():
             if self._needs_calibration:
                 img = self._calibration_denoise(
-                    img, img_ids, txt, txt_ids, vec, timesteps, guidance, silent
+                    img, img_ids, txt, txt_ids, vec, timesteps, guidance, silent,
+                    cfg=run_cfg,
                 )
             else:
                 # silent (server) mode: fused whole-loop scan — fastest. Interactive
@@ -442,7 +460,7 @@ class FluxPipeline:
                 # it/s metric (flux_pipeline.py:628-630).
                 img = denoise(
                     self.model_params,
-                    self.model_cfg,
+                    run_cfg,
                     img,
                     img_ids,
                     txt,

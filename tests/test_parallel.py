@@ -362,3 +362,22 @@ class TestSequenceParallelAttention:
         assert pipe.model_cfg.attn_seq_axis == "sp"
         out = decode_jpeg(pipe.generate(**kwargs))
         assert np.mean(np.abs(out.astype(np.int16) - ref.astype(np.int16))) < 1.0
+
+    def test_indivisible_joint_seq_drops_seq_axis_per_request(self, monkeypatch):
+        """A request whose joint (txt+img) seq doesn't divide sp must fall back to
+        head-only sharding instead of crashing in shard_map."""
+        import flux_fp8_api_tpu.ops.attention as attn_mod
+
+        monkeypatch.setattr(attn_mod, "FORCE_PALLAS_INTERPRET", True)
+        from .test_pipeline import decode_jpeg, make_pipeline
+
+        # txt 31 + img 16 = 47 tokens: odd, indivisible by sp=2
+        pipe = make_pipeline(
+            flow_dtype="float32", use_pallas=True,
+            mesh={"dp": 1, "tp": 2, "sp": 2}, text_enc_max_length=31,
+        )
+        assert pipe.model_cfg.attn_seq_axis == "sp"
+        assert pipe._denoise_cfg(47).attn_seq_axis is None
+        assert pipe._denoise_cfg(48).attn_seq_axis == "sp"
+        out = pipe.generate(prompt="a cat", width=64, height=64, num_steps=1, seed=2, silent=True)
+        assert decode_jpeg(out).shape == (64, 64, 3)
