@@ -19,7 +19,8 @@ this image; wall clock doesn't depend on values). Two single-chip memory plans:
   the same images/min as the all-resident default.
 
 Usage: python bench_e2e.py [width height steps] [--t5-bits {2,4}] [--flow {fp8,int4}]
-       [--offload] → one JSON line.
+       [--offload] [--schnell] → one JSON line. --schnell switches to the 4-step
+       flux-schnell arch (no guidance embed, 256 T5 tokens).
 """
 
 import json
@@ -141,6 +142,9 @@ def main():
     offload = "--offload" in argv
     if offload:
         argv.remove("--offload")
+    schnell = "--schnell" in argv
+    if schnell:
+        argv.remove("--schnell")
     width = int(argv[0]) if len(argv) > 0 else 1024
     height = int(argv[1]) if len(argv) > 1 else 1024
     steps = int(argv[2]) if len(argv) > 2 else 28
@@ -148,17 +152,21 @@ def main():
     flux_params = FluxParams(
         in_channels=64, vec_in_dim=768, context_in_dim=4096, hidden_size=3072,
         mlp_ratio=4.0, num_heads=24, depth=19, depth_single_blocks=38,
-        axes_dim=[16, 56, 56], theta=10_000, qkv_bias=True, guidance_embed=True,
+        axes_dim=[16, 56, 56], theta=10_000, qkv_bias=True,
+        guidance_embed=not schnell,  # schnell has no guidance embedding
     )
     ae_params = AutoEncoderParams(
         resolution=1024, in_channels=3, ch=128, out_ch=3, ch_mult=[1, 2, 4, 4],
         num_res_blocks=2, z_channels=16, scale_factor=0.3611, shift_factor=0.1159,
     )
+    version = ModelVersion.flux_schnell if schnell else ModelVersion.flux_dev
     spec = ModelSpec(
-        version=ModelVersion.flux_dev, params=flux_params, ae_params=ae_params,
-        text_enc_max_length=512, num_scale_trials=6,
+        version=version, params=flux_params, ae_params=ae_params,
+        text_enc_max_length=256 if schnell else 512, num_scale_trials=6,
         offload_text_encoder=offload, offload_vae=offload,
     )
+    if schnell:
+        steps = 4  # pipeline forces it; reflect in the metric label too
     cfg = FluxStatic.from_params(flux_params)
     print("building models...", file=sys.stderr)
     t0 = time.perf_counter()
@@ -183,7 +191,8 @@ def main():
         clip_params = random_wo8_clip(clip_cfg, jax.random.PRNGKey(3))
     print(f"t5 built {time.perf_counter()-t0:.0f}s", file=sys.stderr)
     t5 = TextEncoder(
-        "t5", t5_params, t5_cfg, _toy_tokenizer("t5"), max_length=512, offload=offload
+        "t5", t5_params, t5_cfg, _toy_tokenizer("t5"),
+        max_length=spec.text_enc_max_length, offload=offload,
     )
     clip = TextEncoder(
         "clip", clip_params,
@@ -192,7 +201,7 @@ def main():
     print(f"clip built {time.perf_counter()-t0:.0f}s", file=sys.stderr)
 
     pipe = FluxPipeline(
-        name="flux-dev", clip=clip, t5=t5, model=flow, model_cfg=cfg, ae=ae,
+        name=str(version.value), clip=clip, t5=t5, model=flow, model_cfg=cfg, ae=ae,
         config=spec, prequantized=True,  # bench scales are pre-set; skip calibration
     )
 
@@ -212,10 +221,11 @@ def main():
     jpeg_bytes = len(out.getvalue())
 
     plan = f"T5-XXL wo_int{t5_bits}" + (" offloaded" if offload else "")
+    flavor = "flux-schnell" if schnell else "flux-dev"
     print(
         json.dumps(
             {
-                "metric": f"e2e images/min @{width}x{height} flux-dev {flow_kind} + {plan} + CLIP wo_int8 + VAE, {steps} steps (TPU v5e)",
+                "metric": f"e2e images/min @{width}x{height} {flavor} {flow_kind} + {plan} + CLIP wo_int8 + VAE, {steps} steps (TPU v5e)",
                 "value": round(60.0 / dt, 3),
                 "unit": "images/min",
                 "detail": {
