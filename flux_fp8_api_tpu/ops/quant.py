@@ -215,6 +215,13 @@ def fp8_to_int8_compute(lin: Linear, calibrated: Optional[bool] = None) -> Linea
       (127/amax) by the ratio of the two grids; uncalibrated (1.0) stays 1.0 so the
       calibration protocol proceeds under the int8 law.
 
+    CLAMP CAVEAT: ``amax_to_scale`` clamps the e5m2 scale at 57344, so a layer whose
+    activation amax was < 1 stores scale 57344 and the true amax is unrecoverable —
+    the grid-ratio conversion then caps the int8 scale at 127 (fixed-point step 1/127
+    where e5m2's float grid kept relative precision). Loaders detect clamped scales
+    with :func:`tree_has_clamped_input_scales` and re-run calibration under the int8
+    law instead of trusting the conversion (utils/loader.py).
+
     Checkpoints keep e4m3 storage; this runs at load (see utils/loader.py, gated on
     ``ModelSpec.fp8_fast_accum``). Works on stacked (leading depth axis) and plain
     leaves; int8/float/weight-only leaves pass through unchanged.
@@ -250,6 +257,20 @@ def fp8_to_int8_compute(lin: Linear, calibrated: Optional[bool] = None) -> Linea
         bias=lin.bias,
         kind="int8",
     )
+
+
+def tree_has_clamped_input_scales(tree) -> bool:
+    """True when any fp8 leaf's calibrated input scale sits at the e5m2 clamp
+    (activation amax < 1 — see fp8_to_int8_compute's clamp caveat). One jitted
+    reduction + one scalar fetch, regardless of tree size."""
+    maxes = [
+        jnp.max(l.in_scale.astype(jnp.float32))
+        for l in jax.tree.leaves(tree, is_leaf=lambda x: isinstance(x, Linear))
+        if isinstance(l, Linear) and l.kind == "fp8" and l.in_scale is not None
+    ]
+    if not maxes:
+        return False
+    return bool(jax.jit(lambda vs: jnp.max(jnp.stack(vs)) >= F8_INPUT_MAX)(maxes))
 
 
 def tree_fp8_to_int8_compute(tree, calibrated: Optional[bool] = None):

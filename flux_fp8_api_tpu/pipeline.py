@@ -89,9 +89,15 @@ class FluxPipeline:
 
         self._host = jax.devices("cpu")[0]
 
-        if config.compilation_cache_dir:
+        if config.compilation_cache_dir and (
+            jax.config.jax_compilation_cache_dir != config.compilation_cache_dir
+        ):
             # persistent XLA executable cache: restarts skip the 20-60s serving-bucket
-            # compiles (the torch.compile/inductor-cache analog, flux_pipeline.py:24-28)
+            # compiles (the torch.compile/inductor-cache analog, flux_pipeline.py:24-28).
+            # NOTE: jax config is process-global — this deliberately applies to the
+            # whole process (one pipeline per server process is the serving model);
+            # a second pipeline with a different dir re-points it, with None leaves
+            # the previous pipeline's dir active.
             jax.config.update("jax_compilation_cache_dir", config.compilation_cache_dir)
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
@@ -106,8 +112,11 @@ class FluxPipeline:
 
             mesh_spec = dict(config.mesh)
             self.mesh = make_mesh(mesh_spec)
-            needs_attn_sharding = (
-                mesh_spec.get("tp", 1) > 1 or mesh_spec.get("sp", 1) > 1
+            # ANY multi-device mesh needs the shard_map route (or the XLA fallback):
+            # a dp-only mesh still feeds the Pallas custom call dp-sharded
+            # activations that GSPMD cannot partition
+            needs_attn_sharding = any(
+                mesh_spec.get(a, 1) > 1 for a in ("dp", "tp", "sp")
             )
             if needs_attn_sharding and self.model_cfg is not None and self.model_cfg.use_pallas:
                 # GSPMD cannot partition the Pallas attention custom call on its own;

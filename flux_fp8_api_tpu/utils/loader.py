@@ -17,7 +17,7 @@ from ..models.autoencoder import init_autoencoder_params
 from ..models.clip import CLIPConfig, init_clip_params
 from ..models.conditioner import TextEncoder, apply_quantization
 from ..models.flux import FluxStatic, init_flux_params, quantize_flux_tree
-from ..ops.quant import tree_fp8_to_int8_compute
+from ..ops.quant import tree_fp8_to_int8_compute, tree_has_clamped_input_scales
 from ..models.t5 import T5Config, init_t5_params
 from ..utils.logging import logger
 from ..utils.checkpoint import (
@@ -80,10 +80,26 @@ def load_flow_model(config: ModelSpec, use_pallas: Optional[bool] = None):
             return tree_fp8_to_int8_compute(params, calibrated=calibrated)
         return params
 
+    def clamped(params) -> bool:
+        """Calibrated e5m2 scales at the 57344 clamp can't convert to the int8 law
+        (amax unrecoverable — ops/quant.py fp8_to_int8_compute's clamp caveat);
+        detect them and re-run calibration instead of shipping a 127-capped scale."""
+        if not (kind == "fp8" and config.fp8_fast_accum):
+            return False
+        if tree_has_clamped_input_scales(params):
+            logger.warning(
+                "prequantized input scales sit at the e5m2 clamp (activation amax "
+                "< 1 for some layer): re-running calibration under the int8 law"
+            )
+            return True
+        return False
+
     if config.ckpt_path:
         f = SafetensorsFile(config.ckpt_path)
         if f.metadata.get("format") == "flux-fp8-api-tpu/prequant-v1":
-            return fast_accum(load_prequantized(config.ckpt_path, cfg), calibrated=True), cfg, True
+            params = load_prequantized(config.ckpt_path, cfg)
+            has_scales = not clamped(params)
+            return fast_accum(params, calibrated=has_scales), cfg, has_scales
         prequant_ref = is_prequantized_reference_file(f)
         params = load_flux_checkpoint(config.ckpt_path, cfg)
         if prequant_ref:
@@ -93,6 +109,8 @@ def load_flow_model(config: ModelSpec, use_pallas: Optional[bool] = None):
             # (float8_quantize.py:139-185), so report not-prequantized and let the
             # pipeline calibrate the fp8 leaves it got.
             has_scales = reference_prequant_has_input_scales(f)
+            if has_scales:
+                has_scales = not clamped(params)
             return fast_accum(params, calibrated=has_scales), cfg, has_scales
     else:
         params = init_flux_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)

@@ -115,7 +115,7 @@ class TestFluxCheckpoint:
         assert not is_prequantized_reference_file(path)
 
 
-def _reference_prequant_checkpoint(path: str, seed=0, with_input_scales=True):
+def _reference_prequant_checkpoint(path: str, seed=0, with_input_scales=True, input_scale_value=None):
     """Write the tiny flux as a *reference-style* prequantized checkpoint: the exact
     F8Linear serialization (float8_quantize.py:91-193) — per quantized layer
     ``float8_data`` (out,in) e4m3 + scalar ``scale``/``input_scale`` (+ reciprocals) +
@@ -153,7 +153,8 @@ def _reference_prequant_checkpoint(path: str, seed=0, with_input_scales=True):
         sd[f"{name}.scale"] = scale.reshape(())
         sd[f"{name}.scale_reciprocal"] = np.float32(1.0 / scale).reshape(())
         if with_input_scales:
-            in_scale = np.float32(57344.0 / 3.0)  # a plausible tuned activation scale
+            # default: a plausible tuned activation scale (amax 3.0, unclamped)
+            in_scale = np.float32(input_scale_value or 57344.0 / 3.0)
             sd[f"{name}.input_scale"] = in_scale.reshape(())
             sd[f"{name}.input_scale_reciprocal"] = np.float32(1.0 / in_scale).reshape(())
 
@@ -284,6 +285,27 @@ class TestReferencePrequantized:
         params2, _, prequant2 = load_flow_model(tiny_spec(ckpt_path=path, prequantized_flow=True))
         assert prequant2 is False
         assert params2["double_blocks"]["img_attn_qkv"].kind == "int8"
+
+    def test_clamped_input_scale_recalibrates_under_fast_accum(self, tmp_path):
+        """input_scale at the e5m2 clamp (57344, i.e. activation amax < 1) cannot
+        convert to the int8 law — the true amax is unrecoverable, and the grid-ratio
+        formula would cap the int8 scale at 127 (catastrophic for small activations).
+        The fast-accum load must report not-prequantized so calibration re-derives
+        int8-native scales; the exact fp8 path (no conversion) keeps the scales."""
+        from flux_fp8_api_tpu.utils.loader import load_flow_model
+
+        from .helpers import tiny_spec
+
+        path = str(tmp_path / "clamped.safetensors")
+        _reference_prequant_checkpoint(path, input_scale_value=57344.0)
+        _, _, prequant = load_flow_model(tiny_spec(ckpt_path=path, prequantized_flow=True))
+        assert prequant is False
+        # exact-fp8 tier: e5m2's float grid keeps relative precision at any amax —
+        # the clamped scale is the reference's own behavior, no recalibration
+        _, _, prequant_exact = load_flow_model(
+            tiny_spec(ckpt_path=path, prequantized_flow=True, fp8_fast_accum=False)
+        )
+        assert prequant_exact is True
 
 
 class TestPrequantized:

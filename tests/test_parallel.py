@@ -381,3 +381,11 @@ class TestSequenceParallelAttention:
         assert pipe._denoise_cfg(48).attn_seq_axis == "sp"
         out = pipe.generate(prompt="a cat", width=64, height=64, num_steps=1, seed=2, silent=True)
         assert decode_jpeg(out).shape == (64, 64, 3)
+
+    def test_dp_only_mesh_shards_attention(self):
+        """A dp-only mesh still routes attention through shard_map (or XLA): GSPMD
+        can't partition the Pallas custom call under batch-sharded activations."""
+        from .test_pipeline import make_pipeline
+
+        pipe = make_pipeline(mesh={"dp": 2}, use_pallas=True, flow_dtype="float32")
+        assert pipe.model_cfg.attn_shard_axes == ("dp",)
