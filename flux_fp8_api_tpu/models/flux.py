@@ -388,6 +388,36 @@ def _single_block(cfg: FluxStatic, blk, x, vec_silu, cos, sin, tape: _Tape):
     return clamp_policy(x + gate * out, cfg.do_clamp)
 
 
+def max_logit_bound(params: Dict[str, Any], cfg: FluxStatic) -> float:
+    """Static upper bound on any attention |logit| this parameter tree can produce.
+
+    FLUX RMS-norms q and k per head before rope (ops/math.py:rms_norm), so
+    |q|₂ ≤ √head_dim · max|qnorm_scale| regardless of the qkv weights, and rope is
+    orthogonal — hence |q·k / √d| ≤ √d · max|qs| · max|ks|. The bound depends ONLY
+    on the qk-norm scale parameters (LoRA fuses touch linears, never these), which
+    makes the max-free attention kernel's safety (ops/attention_kernel.py
+    MAX_SAFE_LOGIT) checkable once at load time. Joint attention mixes the img and
+    txt streams, so cross-stream scale products are included.
+    """
+    db, sb = params["double_blocks"], params["single_blocks"]
+    pairs = [
+        (db["img_attn_qnorm"], db["img_attn_knorm"]),
+        (db["txt_attn_qnorm"], db["txt_attn_knorm"]),
+        (db["img_attn_qnorm"], db["txt_attn_knorm"]),
+        (db["txt_attn_qnorm"], db["img_attn_knorm"]),
+        (sb["qnorm"], sb["knorm"]),
+    ]
+
+    @jax.jit
+    def bound(pairs):
+        def mx(a):
+            return jnp.max(jnp.abs(a.astype(jnp.float32)))
+
+        return jnp.max(jnp.stack([mx(q) * mx(k) for q, k in pairs]))
+
+    return float(bound(pairs)) * (cfg.head_dim**0.5)
+
+
 def flux_apply(
     params: Dict[str, Any],
     cfg: FluxStatic,

@@ -17,11 +17,15 @@ logit of VPU work, the rest is MXU.
 
 Guard rail: the max-free trick is only safe while qk-norm keeps |logit| below
 ``MAX_SAFE_LOGIT`` (exp(100 − SHIFT) is still finite in f32; beyond that exp overflows
-to inf and the output goes NaN with no diagnostic). A stats build of the kernel tracks
-``max |logit|`` per (head, q-block) and :func:`qknorm_attention_checked` raises loudly
-when the bound is exceeded — use it after events that can inflate the qk-norm scales
-(LoRA fuse, unusual checkpoints). The serving kernel stays max-free (zero extra VPU
-work). For non-qk-normed use cases, fall back to ``ops.attention.attention_core``.
+to inf and the output goes NaN with no diagnostic). The bound is static in the
+qk-norm *scale parameters* alone (|q|₂ ≤ √d·max|scale| whatever the qkv weights, rope
+is orthogonal, and LoRA fuses touch only linears), so ``FluxPipeline`` checks
+``models.flux.max_logit_bound`` once per checkpoint and auto-falls back to XLA
+attention when it exceeds the safe bound. For measured (not bounded) logits, a stats
+build of the kernel tracks ``max |logit|`` per (head, q-block) and
+:func:`qknorm_attention_checked` raises loudly when exceeded. The serving kernel
+stays max-free (zero extra VPU work). For non-qk-normed use cases, fall back to
+``ops.attention.attention_core``.
 """
 
 from __future__ import annotations

@@ -101,6 +101,26 @@ class FluxPipeline:
             jax.config.update("jax_compilation_cache_dir", config.compilation_cache_dir)
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+        if self.model_cfg is not None and self.model_cfg.use_pallas and model is not None:
+            # The max-free Pallas kernel is only safe while qk-norm keeps |logit|
+            # under MAX_SAFE_LOGIT; the bound is static in the norm-scale params
+            # (models/flux.py:max_logit_bound), so check once per checkpoint and
+            # fall back to XLA attention automatically instead of NaN images.
+            from .models.flux import max_logit_bound
+            from .ops.attention_kernel import MAX_SAFE_LOGIT
+
+            try:
+                bound = max_logit_bound(model, self.model_cfg)
+            except (KeyError, TypeError):
+                bound = None  # non-standard tree (tests with partial params)
+            if bound is not None and bound > MAX_SAFE_LOGIT:
+                logger.warning(
+                    f"qk-norm scales give attention |logit| bound {bound:.0f} > "
+                    f"{MAX_SAFE_LOGIT:.0f}: the max-free Pallas kernel could "
+                    "overflow exp — using XLA attention for this checkpoint"
+                )
+                self.model_cfg = dataclasses.replace(self.model_cfg, use_pallas=False)
+
         # multi-chip serving: config.mesh (e.g. {"dp": 1, "tp": 4}) builds a device
         # mesh; flow params get Megatron-style GSPMD shardings (parallel/mesh.py) and
         # the jitted denoise partitions across chips with XLA inserting the ICI

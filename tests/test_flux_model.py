@@ -159,3 +159,49 @@ class TestQuantizedForwardAndCalibration:
             TINY_FLUX_PARAMS.depth_single_blocks,
         )
         assert amaxes["img_in"].shape == ()
+
+
+class TestMaxLogitBound:
+    def test_unit_scales_bound_is_sqrt_head_dim(self):
+        from flux_fp8_api_tpu.models.flux import max_logit_bound
+
+        cfg, params = tiny_flux()
+        b = max_logit_bound(params, cfg)
+        assert abs(b - cfg.head_dim**0.5) < 1e-4  # all scales init to 1
+
+    def test_inflated_scales_raise_bound(self):
+        from flux_fp8_api_tpu.models.flux import max_logit_bound
+
+        cfg, params = tiny_flux()
+        params["single_blocks"]["qnorm"] = params["single_blocks"]["qnorm"] * 40.0
+        b = max_logit_bound(params, cfg)
+        assert b > 40 * cfg.head_dim**0.5 * 0.9
+
+
+class TestPipelineLogitGuard:
+    def test_adversarial_norm_scales_force_xla_attention(self):
+        """A checkpoint whose qk-norm scales could overflow the max-free kernel's
+        exp must auto-fall back to XLA attention at load (no NaN images)."""
+        from flux_fp8_api_tpu.ops.attention_kernel import MAX_SAFE_LOGIT
+
+        from .test_pipeline import make_pipeline
+
+        pipe = make_pipeline(use_pallas=True)
+        assert pipe.model_cfg.use_pallas  # sane scales keep the kernel
+
+        import jax.numpy as jnp
+
+        from flux_fp8_api_tpu.models.autoencoder import init_autoencoder_params
+        from flux_fp8_api_tpu.pipeline import FluxPipeline
+        from .helpers import TINY_AE_PARAMS, tiny_flux, tiny_spec, tiny_text_encoders
+
+        cfg, params = tiny_flux(use_pallas=True)
+        params["single_blocks"]["qnorm"] = params["single_blocks"]["qnorm"] * 100.0
+        clip, t5 = tiny_text_encoders()
+        ae = init_autoencoder_params(jax.random.PRNGKey(5), TINY_AE_PARAMS)
+        pipe = FluxPipeline(
+            name="flux-dev", clip=clip, t5=t5, model=params, model_cfg=cfg, ae=ae,
+            config=tiny_spec(text_enc_max_length=32, num_scale_trials=3),
+            prequantized=False,
+        )
+        assert not pipe.model_cfg.use_pallas
