@@ -39,6 +39,7 @@ from .ops.quant import (
     quantize_linear_fp8,
     quantize_linear_int4,
     quantize_linear_int8,
+    with_kernel,
 )
 from .utils.safetensors_io import load_safetensors
 
@@ -151,11 +152,29 @@ def convert_diffusers_to_bfl(
         if present:
             sa, sb = present[0][0].shape, present[0][1].shape
             dt = present[0][0].dtype
+            # linear1's members are HETEROGENEOUS: q/k/v out = hidden but proj_mlp
+            # out = 4·hidden, so missing members must zero-fill with THEIR out dim —
+            # the reference reuses the last present member's shape
+            # (lora_loading.py:375-401), which makes an attention-only (or mlp-only)
+            # LoRA produce a mis-sized lora_B that crashes the fuse. Infer hidden
+            # from whichever member is present.
+            hidden = (
+                pairs["proj_mlp"][1].shape[0] // 4
+                if pairs["attn.to_q"][0] is None
+                and pairs["attn.to_k"][0] is None
+                and pairs["attn.to_v"][0] is None
+                else next(
+                    pairs[m][1].shape[0]
+                    for m in ("attn.to_q", "attn.to_k", "attn.to_v")
+                    if pairs[m][0] is not None
+                )
+            )
             a_parts, b_parts = [], []
             for m in members:
                 a, b = pairs[m]
                 if a is None:
-                    a, b = _zeros_like_pair(sa, sb, dt)
+                    out_dim = 4 * hidden if m == "proj_mlp" else hidden
+                    a, b = _zeros_like_pair(sa, (out_dim,) + sb[1:], dt)
                 a_parts.append(np.asarray(a))
                 b_parts.append(np.asarray(b))
             out[f"single_blocks.{i}.linear1.lora_A.weight"] = np.concatenate(a_parts, axis=0)
@@ -198,17 +217,7 @@ def resolve_lora_state_dict(
         sd = convert_diffusers_to_bfl(sd, 19, 38, has_guidance=has_guidance)
     else:
         sd = convert_kohya_to_bfl(sd)
-    keys = sorted(
-        {
-            k.replace(".lora_A.weight", "")
-            .replace(".lora_B.weight", "")
-            .replace(".lora_A", "")
-            .replace(".lora_B", "")
-            .replace(".alpha", "")
-            for k in sd
-        }
-    )
-    return keys, sd
+    return _module_keys(sd), sd
 
 
 # ------------------------------------------------------------------------ delta math
@@ -288,23 +297,33 @@ def _requantize_slice(lin: Linear, idx: Optional[int], new_kernel: jnp.ndarray) 
         return dataclasses.replace(
             lin, kernel=lin.kernel.at[idx].set(new_kernel.astype(lin.kernel.dtype))
         )
+    if idx is None:
+        return with_kernel(lin, new_kernel)
     qfn = {
         "fp8": quantize_linear_fp8,
         "int8": quantize_linear_int8,
         "int4": quantize_linear_int4,
     }[lin.kind]
-    bias = None if lin.bias is None else (lin.bias if idx is None else lin.bias[idx])
-    fresh = qfn(new_kernel, bias)
-    if idx is None:
-        return dataclasses.replace(
-            fresh, in_scale=lin.in_scale, in_scale_inv=lin.in_scale_inv, bias=lin.bias
-        )
+    fresh = qfn(new_kernel, None if lin.bias is None else lin.bias[idx])
     return dataclasses.replace(
         lin,
         q=lin.q.at[idx].set(fresh.q),
         w_scale=lin.w_scale.at[idx].set(fresh.w_scale),
         w_scale_inv=lin.w_scale_inv.at[idx].set(fresh.w_scale_inv),
     )
+
+
+# jitted per (leaf shape, kind): the dequant f32 intermediate and the .at[idx].set
+# copy stay inside one executable instead of N eager tunnel dispatches per touched
+# slice (~32ms floor each, CLAUDE.md) with N full-leaf copies at 12B scale.
+@jax.jit
+def _fuse_slice_jit(lin: Linear, idx, delta_T):
+    return _requantize_slice(lin, idx, _dequant_slice(lin, idx) + delta_T)
+
+
+@jax.jit
+def _fuse_whole_jit(lin: Linear, delta_T):
+    return _requantize_slice(lin, None, _dequant_slice(lin, None) + delta_T)
 
 
 def _dequant_slice(lin: Linear, idx: Optional[int]) -> jnp.ndarray:
@@ -355,8 +374,9 @@ def fuse_lora(
             lin = stacked_updates.get(f"{stack_name}.{leaf_name}")
             if lin is None:
                 lin = params[stack_name][leaf_name]
-            new_kernel = _dequant_slice(lin, idx) + delta_T
-            stacked_updates[f"{stack_name}.{leaf_name}"] = _requantize_slice(lin, idx, new_kernel)
+            stacked_updates[f"{stack_name}.{leaf_name}"] = _fuse_slice_jit(
+                lin, jnp.int32(idx), delta_T
+            )
         else:
             path = _TOP_PATHS.get(key)
             if path is None:
@@ -364,13 +384,15 @@ def fuse_lora(
             node = params
             for p in path[:-1]:
                 node = node[p]
+                if node is None:  # e.g. guidance_in on schnell (no guidance embed)
+                    break
+            if node is None:
+                continue
             lin = node[path[-1]]
             if lin is None or not isinstance(lin, Linear):
                 continue
-            new_kernel = _dequant_slice(lin, None) + delta_T
             # rebuild nested dicts immutably
-            updated = _requantize_slice(lin, None, new_kernel)
-            params = _set_path(params, path, updated)
+            params = _set_path(params, path, _fuse_whole_jit(lin, delta_T))
 
     for flat, lin in stacked_updates.items():
         stack_name, leaf_name = flat.split(".")

@@ -104,8 +104,19 @@ def clip_encode(
     x, _ = jax.lax.scan(body, x, params["blocks"])
     x = _ln(x, params["final_layer_norm"], cfg.layer_norm_eps)
 
-    # pooled = hidden at the first eos position per row (HF CLIPTextModel pooling)
-    eos_pos = jnp.argmax((input_ids == cfg.eos_token_id).astype(jnp.int32), axis=-1)
+    # pooled = hidden at the first eos position per row (HF CLIPTextModel pooling).
+    # LEGACY QUIRK (HF modeling_clip.py): openai-era configs — including the
+    # canonical FLUX.1 text_encoder's config.json — ship "eos_token_id": 2 while the
+    # tokenizer's real EOS id is 49407. HF keeps a workaround: when config eos is 2,
+    # pool at argmax(input_ids) instead (EOS is the LARGEST id in the CLIP vocab, so
+    # the plain argmax finds its first occurrence). Without this, `ids == 2` never
+    # matches, argmax over all-False returns 0, and pooling silently returns the BOS
+    # embedding for every prompt. Gated on the openai vocab size so tiny test
+    # vocabs whose REAL eos id is 2 keep exact-match pooling.
+    if cfg.eos_token_id == 2 and cfg.vocab_size >= 49408:
+        eos_pos = jnp.argmax(input_ids, axis=-1)
+    else:
+        eos_pos = jnp.argmax((input_ids == cfg.eos_token_id).astype(jnp.int32), axis=-1)
     pooled = x[jnp.arange(b), eos_pos]
     return x, pooled
 

@@ -208,3 +208,70 @@ class TestRegistry:
         rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
         # int4's grid is 16x coarser than e4m3's mantissa — allow more requant noise
         assert rel < 0.35, f"int4 fuse/unfuse roundtrip err {rel}"
+
+
+class TestHeterogeneousZeroFill:
+    """single-block linear1 members are q/k/v (out=hidden) + proj_mlp (out=4*hidden):
+    missing members must zero-fill with THEIR out dim, not the first present one's
+    (the reference reuses the last-present shape, lora_loading.py:375-401, which
+    makes attention-only LoRAs — a common peft target_modules choice — crash)."""
+
+    def _attn_only_lora(self):
+        rng = np.random.RandomState(3)
+        sd = {}
+        for m in ("to_q", "to_k", "to_v"):
+            sd[f"transformer.single_transformer_blocks.0.attn.{m}.lora_A.weight"] = (
+                rng.randn(RANK, HS).astype(np.float32) * 0.05
+            )
+            sd[f"transformer.single_transformer_blocks.0.attn.{m}.lora_B.weight"] = (
+                rng.randn(HS, RANK).astype(np.float32) * 0.05
+            )
+        return sd
+
+    def test_attention_only_single_block_shapes(self):
+        keys, sd = lora.resolve_lora_state_dict(self._attn_only_lora())
+        b = sd["single_blocks.0.linear1.lora_B.weight"]
+        assert b.shape == (3 * HS + 4 * HS, RANK)  # mlp rows zero-filled at 4*hidden
+        assert np.all(b[3 * HS :] == 0)
+
+    def test_attention_only_fuses_and_runs(self):
+        cfg, params = tiny_flux()
+        p2, reg = lora.pipeline_load_lora(params, cfg, [], self._attn_only_lora(), 1.0, "a")
+        out = flux_apply(p2, cfg, **tiny_inputs())
+        assert bool(jnp.all(jnp.isfinite(out.astype(jnp.float32))))
+
+    def test_mlp_only_single_block(self):
+        rng = np.random.RandomState(4)
+        sd = {
+            "transformer.single_transformer_blocks.0.proj_mlp.lora_A.weight":
+                rng.randn(RANK, HS).astype(np.float32) * 0.05,
+            "transformer.single_transformer_blocks.0.proj_mlp.lora_B.weight":
+                rng.randn(4 * HS, RANK).astype(np.float32) * 0.05,
+        }
+        keys, out = lora.resolve_lora_state_dict(sd)
+        b = out["single_blocks.0.linear1.lora_B.weight"]
+        assert b.shape == (3 * HS + 4 * HS, RANK)
+        assert np.all(b[: 3 * HS] == 0)  # attn rows zero-filled at hidden each
+
+
+class TestSchnellGuidanceLora:
+    def test_guidance_keys_skipped_on_schnell_tree(self):
+        """BFL-space LoRA touching guidance_in must be skipped (not crash) when the
+        model has no guidance embedder."""
+        import dataclasses as dc
+
+        from .helpers import TINY_FLUX_PARAMS
+        from flux_fp8_api_tpu.models.flux import FluxStatic, init_flux_params
+
+        p = TINY_FLUX_PARAMS.model_copy(update={"guidance_embed": False})
+        cfg = FluxStatic.from_params(p, use_pallas=False)
+        params = init_flux_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+        assert params["guidance_in"] is None
+        rng = np.random.RandomState(5)
+        sd = {
+            "guidance_in.in_layer.lora_A.weight": rng.randn(RANK, 256).astype(np.float32),
+            "guidance_in.in_layer.lora_B.weight": rng.randn(64, RANK).astype(np.float32),
+        }
+        keys = ["guidance_in.in_layer"]
+        p2 = lora.fuse_lora(params, cfg, sd, keys, 1.0)
+        assert p2["guidance_in"] is None

@@ -268,3 +268,34 @@ class TestT5XXLShapeTierFidelity:
         c8, c4, c2 = cos("qint8"), cos("qint4"), cos("qint2")
         assert c8 > c4 > c2, (c8, c4, c2)
         assert c8 > 0.97, c8
+
+
+class TestCLIPLegacyEosPooling:
+    """The canonical FLUX CLIP-L config.json ships eos_token_id=2 while the real EOS
+    is 49407 (the LARGEST vocab id) — HF's modeling_clip works around it by pooling
+    at argmax(input_ids); without that, pooling silently returns the BOS embedding
+    for every prompt. The workaround is gated on the openai vocab size so tiny test
+    vocabs with a genuine eos id of 2 keep exact-match pooling."""
+
+    def test_openai_config_pools_at_real_eos(self):
+        cfg = CLIPConfig(
+            vocab_size=49408, hidden_size=32, intermediate_size=64, num_layers=2,
+            num_heads=2, max_position_embeddings=16, eos_token_id=2,
+        )
+        params = init_clip_params(jax.random.PRNGKey(1), cfg)
+        # a real prompt: bos(49406), words, eos(49407), eos padding
+        ids = jnp.array([[49406, 320, 1125, 49407, 49407, 49407]])
+        hidden, pooled = clip_encode(params, cfg, ids)
+        np.testing.assert_array_equal(np.asarray(pooled[0]), np.asarray(hidden[0, 3]))
+        # NOT the BOS-position embedding (the failure mode being guarded against)
+        assert not np.allclose(np.asarray(pooled[0]), np.asarray(hidden[0, 0]))
+
+    def test_tiny_vocab_keeps_exact_match(self):
+        cfg = CLIPConfig(
+            vocab_size=32, hidden_size=32, intermediate_size=64, num_layers=2,
+            num_heads=2, max_position_embeddings=16, eos_token_id=2,
+        )
+        params = init_clip_params(jax.random.PRNGKey(2), cfg)
+        ids = jnp.array([[1, 7, 5, 2, 2, 2]])  # word id 7 > eos id 2
+        hidden, pooled = clip_encode(params, cfg, ids)
+        np.testing.assert_array_equal(np.asarray(pooled[0]), np.asarray(hidden[0, 3]))
