@@ -73,12 +73,16 @@ def generate(args: GenerateArgs):
     """Generate an image from the prompt (reference api.py:54-86)."""
     t0 = time.perf_counter()
     with _PIPELINE_LOCK:
-        result = app.state.model.generate(**args.model_dump())
-    dt = time.perf_counter() - t0
-    _METRICS["requests"] += 1
-    _METRICS["images"] += 1
-    _METRICS["total_seconds"] += dt
-    _METRICS["last_seconds"] = dt
+        # silent=True selects the fused-scan serving denoise (pipeline.py: the
+        # interactive per-step path exists for tqdm progress, not servers) and
+        # holding the lock for the metrics update keeps the counters race-free
+        # under FastAPI's threadpool
+        result = app.state.model.generate(silent=True, **args.model_dump())
+        dt = time.perf_counter() - t0
+        _METRICS["requests"] += 1
+        _METRICS["images"] += 1
+        _METRICS["total_seconds"] += dt
+        _METRICS["last_seconds"] = dt
     return StreamingResponse(result, media_type="image/jpeg")
 
 

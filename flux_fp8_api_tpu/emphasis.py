@@ -67,7 +67,14 @@ def parse_prompt_attention(text: str) -> List[List]:
         elif tok == "[":
             square_stack.append(len(segments))
         elif explicit_weight is not None and round_stack:
-            scale_from(round_stack.pop(), float(explicit_weight))
+            # the regex's [+-]?[.\d]+ admits a bare "." — treat an unparsable weight
+            # as 1.0 instead of raising (a user prompt "(x:.)" must not 500 the
+            # server; the reference inherits the same regex and crash)
+            try:
+                weight = float(explicit_weight)
+            except ValueError:
+                weight = 1.0
+            scale_from(round_stack.pop(), weight)
         elif tok == ")" and round_stack:
             scale_from(round_stack.pop(), ROUND_MULTIPLIER)
         elif tok == "]" and square_stack:

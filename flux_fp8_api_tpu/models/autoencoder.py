@@ -89,7 +89,10 @@ def _attn_block(p: Dict[str, Any], x: jnp.ndarray) -> jnp.ndarray:
     q, k, v = (t.reshape(b, l, c).astype(jnp.float32) for t in (q, k, v))
     scale = c**-0.5
 
-    chunk = next((c for c in (2048, 1024, 1536, 512) if l % c == 0), None)
+    # largest divisor of l ≤ 2048: every resolution gets a bounded transient (a fixed
+    # candidate list missed e.g. 1024×720's l=11520 and fell back to the naive path's
+    # ~531MB logit matrix)
+    chunk = next((c for c in range(2048, 0, -1) if l % c == 0), None)
     if l <= 4096 or chunk is None:
         logits = jnp.einsum("blc,bmc->blm", q, k) * scale
         out = jnp.einsum("blm,bmc->blc", jax.nn.softmax(logits, axis=-1), v)

@@ -60,11 +60,13 @@ class PipelineServer:
         t0 = time.perf_counter()
         with self.lock:
             out = self.pipeline.generate(silent=True, **args)
-        dt = time.perf_counter() - t0
-        self.metrics["requests"] += 1
-        self.metrics["images"] += 1
-        self.metrics["total_seconds"] += dt
-        self.metrics["last_seconds"] = dt
+            # metrics update under the lock: ThreadingHTTPServer handlers race on
+            # the non-atomic read-modify-writes otherwise
+            dt = time.perf_counter() - t0
+            self.metrics["requests"] += 1
+            self.metrics["images"] += 1
+            self.metrics["total_seconds"] += dt
+            self.metrics["last_seconds"] = dt
         return 200, "image/jpeg", out.getvalue()
 
     def handle_lora(self, body: Dict[str, Any]):

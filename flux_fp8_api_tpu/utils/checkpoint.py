@@ -72,7 +72,10 @@ def _get_linear(sd, torch_prefix: str, dtype) -> Linear:
         # reference prequantized F8Linear serialization (float8_quantize.py:91-193)
         q = jnp.asarray(np.asarray(sd.get(f8_key)).transpose(1, 0))  # (out,in)→(in,out)
         w_scale = jnp.asarray(np.asarray(sd.get(f"{torch_prefix}.scale")), jnp.float32).reshape(())
-        bias = sd.get(f"{torch_prefix}.bias")
+        bias_key = f"{torch_prefix}.bias"
+        # SafetensorsFile.get raises on missing keys (unlike dict.get) — guard for
+        # bias-less exported variants
+        bias = sd.get(bias_key) if bias_key in sd else None
         in_scale_key = f"{torch_prefix}.input_scale"
         has_in = in_scale_key in sd
         in_scale = (
@@ -100,12 +103,14 @@ def _get_linear(sd, torch_prefix: str, dtype) -> Linear:
 
 
 def load_flux_checkpoint(
-    path: str, cfg: FluxStatic, dtype: Optional[jnp.dtype] = None
+    path_or_file, cfg: FluxStatic, dtype: Optional[jnp.dtype] = None
 ) -> Dict[str, Any]:
     """BFL flux safetensors → stacked param pytree (reference load_flow_model,
-    util.py:240-256). Detects reference-prequantized files automatically."""
+    util.py:240-256). Detects reference-prequantized files automatically. Accepts a
+    path or an already-open SafetensorsFile (one header parse for the multi-GB
+    file, shared with the caller's format detection)."""
     dtype = dtype or cfg.dtype
-    sd = SafetensorsFile(path)
+    sd = _as_stf(path_or_file)
 
     def stack(leaves):
         return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *leaves)
@@ -362,15 +367,20 @@ def save_prequantized(path: str, params: Dict[str, Any], extra_meta: Optional[Di
     save_safetensors(path, tensors, metadata=meta)
 
 
-def load_prequantized(path: str, cfg: FluxStatic) -> Dict[str, Any]:
+def load_prequantized(path_or_file, cfg: FluxStatic) -> Dict[str, Any]:
     """Reload a :func:`save_prequantized` checkpoint into the stacked pytree layout."""
-    f = SafetensorsFile(path)
+    f = _as_stf(path_or_file)
     if f.metadata.get("format") != PREQUANT_FORMAT:
-        raise ValueError(f"{path} is not a {PREQUANT_FORMAT} checkpoint")
+        raise ValueError(f"{f.path} is not a {PREQUANT_FORMAT} checkpoint")
     linears = json.loads(f.metadata["linears"])
 
-    # build a skeleton with the right structure, then fill leaves by dotted path
-    skeleton = init_flux_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
+    # build a skeleton with the right STRUCTURE only — eval_shape allocates nothing
+    # (an eager init_flux_params would put ~24GB of random bf16 on the device before
+    # a single checkpoint byte is read, OOMing the 16GB chip on the serving-restart
+    # path; CLAUDE.md's multi-GB-init rule)
+    skeleton = jax.eval_shape(
+        lambda: init_flux_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
+    )
 
     def rebuild(subtree, prefix=""):
         if isinstance(subtree, Linear):

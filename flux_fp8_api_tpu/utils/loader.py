@@ -97,11 +97,11 @@ def load_flow_model(config: ModelSpec, use_pallas: Optional[bool] = None):
     if config.ckpt_path:
         f = SafetensorsFile(config.ckpt_path)
         if f.metadata.get("format") == "flux-fp8-api-tpu/prequant-v1":
-            params = load_prequantized(config.ckpt_path, cfg)
+            params = load_prequantized(f, cfg)
             has_scales = not clamped(params)
             return fast_accum(params, calibrated=has_scales), cfg, has_scales
         prequant_ref = is_prequantized_reference_file(f)
-        params = load_flux_checkpoint(config.ckpt_path, cfg)
+        params = load_flux_checkpoint(f, cfg)
         if prequant_ref:
             # reference-style prequantized: fp8 leaves already built by the loader.
             # Tuned input scales shipped → fully prequantized (skip calibration);

@@ -67,7 +67,7 @@ class SafetensorsFile:
 
     def get(self, name: str) -> np.ndarray:
         ent = self._entries[name]
-        dtype = _DTYPES[ent["dtype"]]
+        dtype = np.dtype(_DTYPES[ent["dtype"]])
         start, end = ent["data_offsets"]
         nbytes = end - start
         if self.use_native and nbytes >= _NATIVE_READ_THRESHOLD:
@@ -76,8 +76,12 @@ class SafetensorsFile:
             buf = native_io.parallel_read(str(self.path), self._data_start + start, nbytes)
             if buf is not None:
                 return buf.view(dtype).reshape(ent["shape"])
-        buf = self._mm[self._data_start + start : self._data_start + end]
-        return np.frombuffer(buf, dtype=dtype).reshape(ent["shape"])
+        # frombuffer over the mmap with offset/count is a true zero-copy view;
+        # slicing the mmap first (self._mm[a:b]) would copy the bytes
+        count = nbytes // dtype.itemsize if dtype.itemsize else nbytes
+        return np.frombuffer(
+            self._mm, dtype=dtype, count=count, offset=self._data_start + start
+        ).reshape(ent["shape"])
 
     def items(self) -> Iterator[Tuple[str, np.ndarray]]:
         for k in self.keys():
@@ -99,7 +103,7 @@ def save_safetensors(path: str, tensors: Dict[str, np.ndarray], metadata: Dict[s
     if metadata:
         header["__metadata__"] = {str(k): str(v) for k, v in metadata.items()}
     offset = 0
-    blobs = []
+    arrays = []
     for name, arr in tensors.items():
         arr = np.ascontiguousarray(arr)
         nbytes = arr.nbytes
@@ -108,7 +112,7 @@ def save_safetensors(path: str, tensors: Dict[str, np.ndarray], metadata: Dict[s
             "shape": list(arr.shape),
             "data_offsets": [offset, offset + nbytes],
         }
-        blobs.append(arr.tobytes())
+        arrays.append(arr)
         offset += nbytes
     hjson = json.dumps(header, separators=(",", ":")).encode("utf-8")
     # pad header to 8-byte alignment (spec recommendation)
@@ -117,5 +121,9 @@ def save_safetensors(path: str, tensors: Dict[str, np.ndarray], metadata: Dict[s
     with open(path, "wb") as f:
         f.write(np.uint64(len(hjson)).tobytes())
         f.write(hjson)
-        for b in blobs:
-            f.write(b)
+        # stream one array at a time: buffering every blob up front would double
+        # peak host RAM at 12GB-checkpoint scale (tobytes copies at most one
+        # tensor transiently; ml_dtypes arrays don't expose a buffer protocol, so
+        # a zero-copy memoryview isn't portable here)
+        for arr in arrays:
+            f.write(arr.tobytes())
