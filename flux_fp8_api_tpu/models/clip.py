@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.quant import Linear, WO_QUANTIZERS, linear_apply
+from ..ops.quant import Linear, quantize_stacked_weight_only, linear_apply
 
 
 @dataclasses.dataclass(frozen=True)
@@ -164,20 +164,8 @@ def init_clip_params(key, cfg: CLIPConfig, dtype=jnp.float32) -> Dict[str, Any]:
 def quantize_clip_params(params: Dict[str, Any], tier: str) -> Dict[str, Any]:
     """Weight-only tier over block linears (reference clip_quantization_dtype,
     util.py:65 + conditioner.py:56-70)."""
-    qfn = WO_QUANTIZERS[tier]
-
-    def quant_stacked(lin: Linear) -> Linear:
-        if lin.kind != "float":
-            return lin
-        if lin.bias is not None:
-            return jax.vmap(qfn)(lin.kernel, lin.bias)
-        return jax.vmap(lambda k: qfn(k, None))(lin.kernel)
-
     out = dict(params)
-    out["blocks"] = {
-        k: (quant_stacked(v) if isinstance(v, Linear) else v)
-        for k, v in params["blocks"].items()
-    }
+    out["blocks"] = quantize_stacked_weight_only(params["blocks"], tier)
     return out
 
 

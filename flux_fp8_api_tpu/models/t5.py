@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.quant import Linear, WO_QUANTIZERS, linear_apply
+from ..ops.quant import Linear, quantize_stacked_weight_only, linear_apply
 
 
 @dataclasses.dataclass(frozen=True)
@@ -176,20 +176,8 @@ def init_t5_params(key, cfg: T5Config, dtype=jnp.float32) -> Dict[str, Any]:
 def quantize_t5_params(params: Dict[str, Any], tier: str) -> Dict[str, Any]:
     """Apply a weight-only tier ('qfloat8'/'qint8'/'qint4'/'qint2') to all block linears
     (the reference quantizes the whole HF module via quanto/bnb, conditioner.py:56-70)."""
-    qfn = WO_QUANTIZERS[tier]
-
-    def quant_stacked(lin: Linear) -> Linear:
-        if lin.kind != "float":
-            return lin
-        if lin.bias is not None:
-            return jax.vmap(qfn)(lin.kernel, lin.bias)
-        return jax.vmap(lambda k: qfn(k, None))(lin.kernel)
-
     out = dict(params)
-    out["blocks"] = {
-        k: (quant_stacked(v) if isinstance(v, Linear) else v)
-        for k, v in params["blocks"].items()
-    }
+    out["blocks"] = quantize_stacked_weight_only(params["blocks"], tier)
     return out
 
 

@@ -431,6 +431,24 @@ WO_QUANTIZERS = {
 }
 
 
+def quantize_stacked_weight_only(blocks: dict, tier: str) -> dict:
+    """Apply a weight-only tier to every depth-stacked float Linear leaf of an
+    encoder blocks dict (shared by the T5 and CLIP loaders — the reference
+    quantizes the whole HF module via quanto/bnb, conditioner.py:56-70)."""
+    qfn = WO_QUANTIZERS[tier]
+
+    def quant_stacked(lin: Linear) -> Linear:
+        if lin.kind != "float":
+            return lin
+        if lin.bias is not None:
+            return jax.vmap(qfn)(lin.kernel, lin.bias)
+        return jax.vmap(lambda k: qfn(k, None))(lin.kernel)
+
+    return {k: (quant_stacked(v) if isinstance(v, Linear) else v) for k, v in blocks.items()}
+
+
+
+
 # ------------------------------------------------------------------------------ forward
 
 
