@@ -216,3 +216,46 @@ class TestRectangularQ:
             q[:, 100:200], k, v, scale, block_q=128, block_kv=128, interpret=True
         )
         np.testing.assert_allclose(np.asarray(shard), np.asarray(full[:, 100:200]), rtol=1e-6)
+
+
+class TestFuzzShapes:
+    """Property check across random (lq, lkv, block, rope) combos — guards the
+    rectangular/padding/masking generalizations against shape edge cases."""
+
+    def test_random_configs_match_naive(self):
+        rng = np.random.RandomState(11)
+        for trial in range(6):
+            h = int(rng.choice([1, 2]))
+            d = int(rng.choice([16, 32]))
+            lkv = int(rng.choice([96, 160, 256, 300]))
+            lq = int(rng.choice([lkv, 64, 120]))
+            bq = int(rng.choice([64, 128]))
+            bkv = int(rng.choice([64, 128, 256]))
+            ks = jax.random.split(jax.random.PRNGKey(100 + trial), 4)
+            q = _normed(ks[0], (h, lq, d))
+            k = _normed(ks[1], (h, lkv, d))
+            v = jax.random.normal(ks[2], (h, lkv, d), jnp.float32)
+            scale = d**-0.5
+            use_rope = trial % 2 == 0
+            kw = {}
+            qr, kr = q, k
+            if use_rope:
+                ang = jax.random.uniform(ks[3], (max(lq, lkv), d // 2), jnp.float32, 0, 3.14)
+                cos = jnp.repeat(jnp.cos(ang), 2, -1)
+                sin = jnp.repeat(jnp.sin(ang), 2, -1)
+                kw = dict(cos=cos[:lkv], sin=sin[:lkv], cos_q=cos[:lq], sin_q=sin[:lq])
+
+                def rot(x, c, s):
+                    half = d // 2
+                    rotated = jnp.concatenate([-x[..., half:], x[..., :half]], -1)
+                    return x * c + rotated * s
+
+                qr = rot(q, cos[:lq], sin[:lq])
+                kr = rot(k, cos[:lkv], sin[:lkv])
+            ref = _naive(qr, kr, v, scale)
+            out = qknorm_attention(
+                q if use_rope else qr, k if use_rope else kr, v, scale,
+                block_q=bq, block_kv=bkv, interpret=True, **kw,
+            )
+            rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+            assert rel < 5e-3, (trial, h, d, lq, lkv, bq, bkv, use_rope, rel)
