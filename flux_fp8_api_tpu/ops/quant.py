@@ -96,9 +96,8 @@ class Linear:
     @property
     def in_features(self) -> int:
         arr = self.kernel if self.kernel is not None else self.q
-        if self.kind == "int4":  # two rows per packed byte
-            return arr.shape[-2] * 2
-        return arr.shape[-2]
+        packed_rows = {"int4": 2, "wo_int4": 2, "wo_int2": 4}  # rows per packed byte
+        return arr.shape[-2] * packed_rows.get(self.kind, 1)
 
     @property
     def out_features(self) -> int:
@@ -259,18 +258,24 @@ def fp8_to_int8_compute(lin: Linear, calibrated: Optional[bool] = None) -> Linea
     )
 
 
+@jax.jit
+def _any_scale_clamped(scales):
+    return jnp.max(jnp.stack([jnp.max(s.astype(jnp.float32)) for s in scales])) >= F8_INPUT_MAX
+
+
 def tree_has_clamped_input_scales(tree) -> bool:
     """True when any fp8 leaf's calibrated input scale sits at the e5m2 clamp
-    (activation amax < 1 — see fp8_to_int8_compute's clamp caveat). One jitted
-    reduction + one scalar fetch, regardless of tree size."""
-    maxes = [
-        jnp.max(l.in_scale.astype(jnp.float32))
+    (activation amax < 1 — see fp8_to_int8_compute's clamp caveat). The per-leaf
+    maxes run INSIDE one jitted reduction (module-level jit, cached per tree
+    structure) — one dispatch + one scalar fetch through the ~32ms/call tunnel."""
+    scales = tuple(
+        l.in_scale
         for l in jax.tree.leaves(tree, is_leaf=lambda x: isinstance(x, Linear))
         if isinstance(l, Linear) and l.kind == "fp8" and l.in_scale is not None
-    ]
-    if not maxes:
+    )
+    if not scales:
         return False
-    return bool(jax.jit(lambda vs: jnp.max(jnp.stack(vs)) >= F8_INPUT_MAX)(maxes))
+    return bool(_any_scale_clamped(scales))
 
 
 def tree_fp8_to_int8_compute(tree, calibrated: Optional[bool] = None):
@@ -322,6 +327,11 @@ def with_kernel(lin: Linear, kernel: jnp.ndarray, bias: Optional[jnp.ndarray] = 
         fresh = quantize_linear_int8(kernel, bias)
     elif lin.kind == "int4":
         fresh = quantize_linear_int4(kernel, bias)
+    elif lin.kind.startswith("wo_"):
+        raise ValueError(
+            f"re-quantizing a weight-only ({lin.kind}) leaf is not supported — "
+            "weight-only tiers are load-time only (text encoders)"
+        )
     else:
         raise ValueError(f"unknown Linear kind {lin.kind}")
     return dataclasses.replace(
@@ -499,12 +509,9 @@ def linear_apply(
         # quantize the activation in bf16: products ≤127 in magnitude are exactly
         # representable post-round, and the 2-byte intermediates halve HBM transients
         # vs an f32 staging buffer (the Pallas kernel fuses this entirely in VMEM).
+        sc = lin.in_scale.astype(jnp.bfloat16)
         x8 = jnp.round(
-            jnp.clip(
-                x.astype(jnp.bfloat16) * lin.in_scale.astype(jnp.bfloat16),
-                -INT8_MAX,
-                INT8_MAX,
-            )
+            jnp.clip(x.astype(jnp.bfloat16) * sc, -INT8_MAX, INT8_MAX)
         ).astype(jnp.int8)
         out = jax.lax.dot_general(
             x8,
@@ -512,7 +519,10 @@ def linear_apply(
             (((x.ndim - 1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
-        out = out.astype(jnp.float32) * (lin.in_scale_inv * lin.w_scale_inv)
+        # dequantize by the reciprocal of the scale ACTUALLY applied (bf16-rounded):
+        # using the stored f32 in_scale_inv would leave a systematic bf16(s)/s gain
+        # of up to ~0.2% on every layer
+        out = out.astype(jnp.float32) * ((1.0 / sc.astype(jnp.float32)) * lin.w_scale_inv)
         if lin.bias is not None:
             out = out + lin.bias.astype(jnp.float32)
         return out.astype(compute_dtype), amax
@@ -522,12 +532,9 @@ def linear_apply(
         # [-7, 7]) and take the exact int8 MXU path — same activation quantize, same
         # per-channel epilogue. The unpack is one cheap VPU pass; HBM kernel reads
         # halve vs int8/fp8.
+        sc = lin.in_scale.astype(jnp.bfloat16)
         x8 = jnp.round(
-            jnp.clip(
-                x.astype(jnp.bfloat16) * lin.in_scale.astype(jnp.bfloat16),
-                -INT8_MAX,
-                INT8_MAX,
-            )
+            jnp.clip(x.astype(jnp.bfloat16) * sc, -INT8_MAX, INT8_MAX)
         ).astype(jnp.int8)
         out = jax.lax.dot_general(
             x8,
@@ -535,7 +542,7 @@ def linear_apply(
             (((x.ndim - 1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
-        out = out.astype(jnp.float32) * (lin.in_scale_inv * lin.w_scale_inv)
+        out = out.astype(jnp.float32) * ((1.0 / sc.astype(jnp.float32)) * lin.w_scale_inv)
         if lin.bias is not None:
             out = out + lin.bias.astype(jnp.float32)
         return out.astype(compute_dtype), amax

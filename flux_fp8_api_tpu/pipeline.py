@@ -80,7 +80,6 @@ class FluxPipeline:
         self.clip = clip
         self.t5 = t5
         self.model_cfg = model_cfg
-        self.ae_params = ae
         self.img_encoder = ImageEncoder()
 
         self.offload_text_encoder = config.offload_text_encoder
@@ -181,7 +180,14 @@ class FluxPipeline:
 
         # fp8/int8 input-scale calibration state (reference num_scale_trials=12,
         # float8_quantize.py:42): counts quantized forward passes until freeze.
-        self._needs_calibration = (not prequantized) and self._is_quantized()
+        # num_scale_trials <= 0 means "no calibration": without this, the flag could
+        # never clear (trials_done < 0 is unreachable) and compile()'s
+        # calibrate-until-frozen loop would spin forever
+        self._needs_calibration = (
+            (not prequantized)
+            and self._is_quantized()
+            and config.num_scale_trials > 0
+        )
         self._amax_running = None
         self._trials_done = 0
 
@@ -386,14 +392,31 @@ class FluxPipeline:
         if self.offload_text_encoder:
             self.clip.to_device()
             self.t5.to_device()
-        prompt_str = prompt if isinstance(prompt, str) else prompt[0]
-        vec, txt = get_weighted_text_embeddings(
-            self.clip,
-            self.t5,
-            prompt_str,
-            num_images_per_prompt=bs,
-            t5_length=self.config.text_enc_max_length,
-        )
+        if isinstance(prompt, str) or len(set(prompt)) == 1:
+            # one prompt (possibly repeated): single encode, batch-broadcast
+            prompt_str = prompt if isinstance(prompt, str) else prompt[0]
+            vec, txt = get_weighted_text_embeddings(
+                self.clip,
+                self.t5,
+                prompt_str,
+                num_images_per_prompt=bs,
+                t5_length=self.config.text_enc_max_length,
+            )
+        else:
+            # distinct prompts per batch row (an extension over the reference's
+            # str-only API): encode each and stack — previously row 0's prompt was
+            # silently used for every image
+            if len(prompt) != bs:
+                raise ValueError(f"got {len(prompt)} prompts for batch size {bs}")
+            encs = [
+                get_weighted_text_embeddings(
+                    self.clip, self.t5, p, num_images_per_prompt=1,
+                    t5_length=self.config.text_enc_max_length,
+                )
+                for p in prompt
+            ]
+            vec = jnp.concatenate([v for v, _ in encs], axis=0)
+            txt = jnp.concatenate([t for _, t in encs], axis=0)
         if self.offload_text_encoder:
             self.clip.to_host()
             self.t5.to_host()

@@ -56,7 +56,19 @@ def flow_quant_kind(config: ModelSpec) -> Optional[str]:
     tier = config.flow_quantization_dtype
     if tier is None:
         return None
-    return FLOW_QUANT_KINDS.get(str(tier.value if hasattr(tier, "value") else tier))
+    name = str(tier.value if hasattr(tier, "value") else tier)
+    if name in ("bfloat16", "bf16", "float16", "fp16"):
+        return None  # explicit full-precision tiers
+    kind = FLOW_QUANT_KINDS.get(name)
+    if kind is None:
+        # silently skipping quantization would place a ~24GB bf16 flow on a 16GB
+        # chip (OOM far from the misconfigured field) or benchmark full precision
+        # while claiming a quantized tier
+        raise ValueError(
+            f"flow_quantization_dtype={name!r} is not a supported flow tier "
+            f"(supported: {sorted(FLOW_QUANT_KINDS)}, or bf16/fp16 for none)"
+        )
+    return kind
 
 
 def load_flow_model(config: ModelSpec, use_pallas: Optional[bool] = None):
@@ -192,6 +204,12 @@ def load_text_encoders(config: ModelSpec):
             offload=offload,
         )
     else:
+        if config.clip_path:
+            logger.warning(
+                f"clip_path={config.clip_path!r} is a hub id, not a local path "
+                "(no hub access in this environment): using a RANDOM-weight toy "
+                "CLIP — generated images will not follow prompts"
+            )
         clip = _random_clip(config, device, offload)
     if config.text_enc_path:
         t5 = TextEncoder.from_pretrained(

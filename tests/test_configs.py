@@ -172,3 +172,17 @@ class TestPrequantizedPipeline:
         except RuntimeError:
             raised = True
         assert raised
+
+
+class TestUnsupportedFlowTier:
+    def test_qint2_flow_raises_loudly(self):
+        """An unmapped flow tier must raise at load, not silently skip quantization
+        (a 24GB bf16 flow would OOM the 16GB chip far from the misconfigured field)."""
+        import pytest
+
+        from flux_fp8_api_tpu.utils.loader import load_flow_model
+
+        from .helpers import tiny_spec
+
+        with pytest.raises(ValueError, match="qint2"):
+            load_flow_model(tiny_spec(flow_quantization_dtype="qint2"))

@@ -269,3 +269,39 @@ class TestCompilationCache:
             assert entries, "compilation cache dir stayed empty"
         finally:
             _jax.config.update("jax_compilation_cache_dir", None)
+
+
+class TestMultiPrompt:
+    def test_distinct_prompts_encode_separately(self):
+        """A list of distinct prompts must produce distinct images per row —
+        previously row 0's prompt was silently used for the whole batch."""
+        pipe = make_pipeline()
+        out = pipe.generate(
+            prompt=["a red cat", "a blue dog"], width=64, height=64,
+            num_steps=2, seed=9, silent=True,
+        )
+        img = decode_jpeg(out)  # num_images stack vertically
+        assert img.shape == (128, 64, 3)
+        top, bottom = img[:64].astype(np.int16), img[64:].astype(np.int16)
+        assert np.abs(top - bottom).mean() > 1.0  # different prompts → different rows
+
+    def test_prompt_count_mismatch_raises(self):
+        pipe = make_pipeline()
+        try:
+            pipe.generate(prompt=["a", "b", "c"], width=64, height=64,
+                          num_steps=1, seed=0, silent=True, num_images=2)
+            raised = False
+        except ValueError:
+            raised = True
+        assert raised
+
+
+class TestZeroScaleTrials:
+    def test_num_scale_trials_zero_skips_calibration(self):
+        """num_scale_trials=0 must mean 'no calibration', not an infinite
+        compile() loop (the freeze condition trials_done < 0 was unreachable)."""
+        pipe = make_pipeline(quant_kind="int8", num_scale_trials=0)
+        assert not pipe._needs_calibration
+        pipe.compile()  # must return, not spin
+        out = pipe.generate(prompt="a cat", width=64, height=64, num_steps=1, seed=0, silent=True)
+        assert decode_jpeg(out).shape == (64, 64, 3)
