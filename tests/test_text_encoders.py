@@ -299,3 +299,23 @@ class TestCLIPLegacyEosPooling:
         ids = jnp.array([[1, 7, 5, 2, 2, 2]])  # word id 7 > eos id 2
         hidden, pooled = clip_encode(params, cfg, ids)
         np.testing.assert_array_equal(np.asarray(pooled[0]), np.asarray(hidden[0, 3]))
+
+
+class TestEmphasisFuzz:
+    """The parser faces raw user input through /generate — any string must parse
+    without raising and yield finite weights."""
+
+    def test_random_bracket_soup(self):
+        import random
+
+        rng = random.Random(7)
+        alphabet = list("ab c(:)[]\\.1-+") + ["BREAK", "(x:1.5)", "::", "(", "[", "\\("]
+        for _ in range(200):
+            s = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 40)))
+            segs = emphasis.parse_prompt_attention(s)
+            assert all(np.isfinite(w) for _, w in segs), (s, segs)
+
+    def test_pathological_weights(self):
+        for s in ["(x:.)", "(x:)", "(x:-)", "(x:+.5)", "(x:-.5)", "(:1.2)", "(x:1e3)"]:
+            segs = emphasis.parse_prompt_attention(s)
+            assert all(np.isfinite(w) for _, w in segs), (s, segs)
