@@ -177,7 +177,7 @@ def init_flux_params(key, cfg: FluxStatic, dtype=None) -> Dict[str, Any]:
     """Random-init parameter tree (float kind). Double/single blocks are stacked along
     a leading depth axis, ready for lax.scan."""
     dtype = dtype or cfg.dtype
-    keys = jax.random.split(key, 8)
+    keys = jax.random.split(key, 9)
     hs = cfg.hidden_size
 
     def stack_blocks(init_fn, n, key):
@@ -196,7 +196,7 @@ def init_flux_params(key, cfg: FluxStatic, dtype=None) -> Dict[str, Any]:
         "single_blocks": stack_blocks(_init_single_block, cfg.depth_single_blocks, keys[6]),
         "final_layer": {
             "linear": _init_linear(keys[7], hs, cfg.in_channels, dtype),
-            "adaln": _init_linear(keys[7], hs, 2 * hs, dtype),
+            "adaln": _init_linear(keys[8], hs, 2 * hs, dtype),
         },
     }
     return tree
@@ -233,10 +233,20 @@ def quantize_flux_tree(
         "int4": quantize_linear_int4,
     }[kind]
 
+    # per-leaf jits (cached by shape): the f32 upcast stays fused inside each call —
+    # eagerly, single_blocks.linear1 alone would stage a ~10GB f32 intermediate at
+    # flux-dev scale on the quantize-on-load path (CLAUDE.md multi-GB-init rule)
+    _q_jit = jax.jit(lambda k, b: qfn(k.astype(jnp.float32), b))
+    _q_jit_nb = jax.jit(lambda k: qfn(k.astype(jnp.float32), None))
+    _qs_jit = jax.jit(jax.vmap(lambda k, b: qfn(k.astype(jnp.float32), b)))
+    _qs_jit_nb = jax.jit(jax.vmap(lambda k: qfn(k.astype(jnp.float32), None)))
+
     def quant(lin: Linear) -> Linear:
         if lin.kind != "float":
             return lin
-        return qfn(lin.kernel.astype(jnp.float32), lin.bias)
+        if lin.bias is not None:
+            return _q_jit(lin.kernel, lin.bias)
+        return _q_jit_nb(lin.kernel)
 
     def quant_stacked(lin: Linear) -> Linear:
         """Per-block scales for depth-stacked leaves: each of the reference's 57 blocks
@@ -245,8 +255,8 @@ def quantize_flux_tree(
         if lin.kind != "float":
             return lin
         if lin.bias is not None:
-            return jax.vmap(qfn)(lin.kernel.astype(jnp.float32), lin.bias)
-        return jax.vmap(lambda k: qfn(k, None))(lin.kernel.astype(jnp.float32))
+            return _qs_jit(lin.kernel, lin.bias)
+        return _qs_jit_nb(lin.kernel)
 
     out = dict(tree)
     for name in EMBEDDER_PATHS:

@@ -38,7 +38,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # exp(s - SHIFT): keeps p ≤ e^(bound-SHIFT); with |s| ≲ 60 this stays finite in f32
-# while the normalization cancels the constant exactly.
+# while the normalization cancels the constant exactly. The underflow side (a q row
+# whose logits ALL sit below SHIFT-88 → den 0) is handled by the den clamp in the
+# kernel epilogue: such rows emit 0, never NaN.
 SHIFT = 20.0
 
 # f32 exp overflows past ~88; with SHIFT subtracted first, |logit| ≤ 100 leaves an
@@ -119,7 +121,10 @@ def _attn_kernel(
 
     @pl.when(kv_idx == pl.num_programs(2) - 1)
     def _():
-        o_ref[0] = (acc_ref[:] / den_ref[:]).astype(o_ref.dtype)
+        # den can underflow to 0 when EVERY logit in a q row sits below SHIFT-88
+        # (exp flushes to zero) — a one-sided |logit| bound doesn't exclude that.
+        # Clamp so such rows produce 0 (acc is 0 too) instead of 0/0 = NaN.
+        o_ref[0] = (acc_ref[:] / jnp.maximum(den_ref[:], 1e-30)).astype(o_ref.dtype)
 
 
 @functools.partial(

@@ -8,13 +8,20 @@ inserting the all-reduces over ICI.
 
 Tensor-parallel layout (Megatron-style, per transformer block):
 - column-parallel (out-features sharded over tp): qkv projections, mlp up-projections,
-  modulation linears, single-block linear1 — activations after these carry a
-  tp-sharded feature axis that flows through the per-head attention math untouched
-  (heads divide tp);
+  modulation linears, single-block linear1;
 - row-parallel (in-features sharded over tp): attention proj, mlp down-projections,
   single-block linear2 — XLA inserts one psum per block pair;
 - everything tiny (norms, embedders, final layer) replicated;
 - batch over dp for both inference and training (grads all-reduce over dp).
+
+LAYOUT CAVEAT: the fused qkv (and linear1 / 6·hs modulation) out-axis is K-major —
+channels ordered (3, heads, head_dim) — so a contiguous tp shard crosses the q/k/v
+(and qkv|mlp, 6-chunk) boundaries. GSPMD keeps results correct but inserts
+resharding collectives between those GEMMs and the per-head attention / chunk
+splits, rather than the zero-collective Megatron ideal. A head-major out-axis
+permutation at shard time would remove them; it interacts with the rope channel
+permutation, checkpoint maps, and LoRA fuse, and is unmeasurable in this
+single-chip environment — left as the known cost of the current layout.
 """
 
 from __future__ import annotations

@@ -56,7 +56,17 @@ def sgd_update(params, grads, lr: float = 1e-4):
 
 def make_train_step(cfg: FluxStatic):
     """→ jitted step(params, batch, key) → (params, loss). Sharding comes from the
-    argument placements (GSPMD propagates from param/batch shardings)."""
+    argument placements (GSPMD propagates from param/batch shardings).
+
+    Training always uses the XLA attention path: the Pallas serving kernel has no
+    VJP, so differentiating a ``use_pallas=True`` (or shard_map-attention) cfg would
+    crash at trace time — the GSPMD-partitioned XLA attention is differentiable and
+    shards the same way."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        cfg, use_pallas=False, attn_shard_axes=None, attn_seq_axis=None
+    )
 
     @partial(jax.jit, static_argnames=(), donate_argnums=(0,))
     def step(params, batch, key):

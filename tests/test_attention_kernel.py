@@ -259,3 +259,17 @@ class TestFuzzShapes:
             )
             rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
             assert rel < 5e-3, (trial, h, d, lq, lkv, bq, bkv, use_rope, rel)
+
+
+class TestUnderflowRows:
+    def test_all_negative_logit_rows_emit_zero_not_nan(self):
+        """A q row whose logits ALL underflow exp(s - SHIFT) must produce 0, not
+        0/0 = NaN — the one-sided |logit| guard can't exclude this case."""
+        h, l, d = 1, 128, 32
+        # construct q,k so every logit is ~-90 (within MAX_SAFE_LOGIT on magnitude)
+        q = jnp.ones((h, l, d), jnp.float32)
+        k = -jnp.ones((h, l, d), jnp.float32) * (90.0 / d)
+        v = jnp.ones((h, l, d), jnp.float32)
+        out = qknorm_attention(q, k, v, 1.0, block_q=128, block_kv=128, interpret=True)
+        assert bool(jnp.all(jnp.isfinite(out))), "underflowed rows must not NaN"
+        np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
