@@ -141,8 +141,12 @@ def health() -> dict:
 
 @app.get("/metrics")
 def metrics() -> dict:
-    """TPU extra: request counters and latency (denoise it/s lives in logs)."""
+    """TPU extra: request counters, latency, and the last request's per-phase
+    timings — incl. ``denoise_it_per_s``, the reference's headline tqdm rate
+    (flux_pipeline.py:628-630; SURVEY.md §5 tracing)."""
     out = dict(_METRICS)
     if _METRICS["requests"]:
         out["avg_seconds"] = _METRICS["total_seconds"] / _METRICS["requests"]
+    model = getattr(app.state, "model", None)
+    out.update(getattr(model, "timings", {}))
     return out

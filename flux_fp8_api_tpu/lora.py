@@ -345,10 +345,24 @@ def fuse_lora(
 ) -> Dict[str, Any]:
     """Fuse every LoRA-touched module: W ← W + scaleᐧB@A (reference
     apply_lora_to_model, lora_loading.py:634-693). Negative scale unfuses."""
-    from .utils.checkpoint import qkv_out_permutation
+    from .utils.checkpoint import (
+        grouped_qkv_permutation,
+        linear2_in_permutation,
+        qkv_out_permutation,
+    )
 
     qkv_perm = qkv_out_permutation(cfg.hidden_size, cfg.head_dim)
     lin1_perm = qkv_out_permutation(cfg.hidden_size, cfg.head_dim, extra=cfg.mlp_hidden)
+    grouped = cfg.fused_layout == "grouped"
+    if grouped:
+        # under tensor parallelism the runtime layout composes the rope
+        # deinterleave with the shard-time head-major regroup
+        # (utils/checkpoint.py relayout_flux_tree): perm_total = flat[grouped]
+        qkv_perm = qkv_perm[grouped_qkv_permutation(cfg.hidden_size, cfg.head_dim)]
+        lin1_perm = lin1_perm[
+            grouped_qkv_permutation(cfg.hidden_size, cfg.head_dim, extra=cfg.mlp_hidden)
+        ]
+    lin2_perm = linear2_in_permutation(cfg.hidden_size, cfg.head_dim, cfg.mlp_hidden)
 
     params = dict(params)
     stacked_updates: Dict[str, Linear] = {}
@@ -364,6 +378,14 @@ def fuse_lora(
             delta_T = delta_T[..., qkv_perm]
         elif key.endswith(".linear1") and delta_T.shape[-1] == 3 * cfg.hidden_size + cfg.mlp_hidden:
             delta_T = delta_T[..., lin1_perm]
+        elif (
+            grouped
+            and key.endswith(".linear2")
+            and delta_T.shape[-2] == cfg.hidden_size + cfg.mlp_hidden
+        ):
+            # linear2's grouped-runtime IN-axis is head-grouped; the flat layout
+            # matches the checkpoint order and needs no permutation
+            delta_T = delta_T[..., lin2_perm, :]
 
         m = re.match(r"(double_blocks|single_blocks)\.(\d+)\.(.+)", key)
         if m:

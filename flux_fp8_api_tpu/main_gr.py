@@ -14,6 +14,7 @@ gradio isn't baked into the TPU image — the import is gated with a clear messa
 from __future__ import annotations
 
 import json
+import os
 from typing import Optional
 
 from PIL import Image
@@ -81,7 +82,20 @@ def attach_metadata(image: Image.Image, record: dict) -> str:
     f = tempfile.NamedTemporaryFile(suffix=".png", delete=False)
     image.save(f, format="PNG", pnginfo=meta)
     f.close()
+    # bound the temp-dir footprint: a long-running server would otherwise leak one
+    # PNG per generation. Keep a window of recent files (Gradio may still be
+    # streaming the last few) and unlink the oldest beyond it.
+    _TEMP_PNGS.append(f.name)
+    while len(_TEMP_PNGS) > 16:
+        stale = _TEMP_PNGS.pop(0)
+        try:
+            os.unlink(stale)
+        except OSError:
+            pass
     return f.name
+
+
+_TEMP_PNGS: list = []
 
 
 def build_ui(pipeline):

@@ -91,8 +91,10 @@ def _attn_block(p: Dict[str, Any], x: jnp.ndarray) -> jnp.ndarray:
 
     # largest divisor of l ≤ 2048: every resolution gets a bounded transient (a fixed
     # candidate list missed e.g. 1024×720's l=11520 and fell back to the naive path's
-    # ~531MB logit matrix)
-    chunk = next((c for c in range(2048, 0, -1) if l % c == 0), None)
+    # ~531MB logit matrix). Floor at 256: an l = small·prime would otherwise
+    # degenerate to a scan of thousands of tiny steps — the naive path's transient
+    # at such l (< 8·4096) is modest anyway.
+    chunk = next((c for c in range(2048, 255, -1) if l % c == 0), None)
     if l <= 4096 or chunk is None:
         logits = jnp.einsum("blc,bmc->blm", q, k) * scale
         out = jnp.einsum("blm,bmc->blc", jax.nn.softmax(logits, axis=-1), v)

@@ -169,18 +169,34 @@ def quantize_clip_params(params: Dict[str, Any], tier: str) -> Dict[str, Any]:
     return out
 
 
-def load_clip_checkpoint(sd_get, cfg: CLIPConfig, dtype=jnp.bfloat16) -> Dict[str, Any]:
-    """HF CLIPTextModel state dict → pytree. ``sd_get(name) -> np.ndarray``."""
+def load_clip_checkpoint(sd_get, cfg: CLIPConfig, dtype=jnp.bfloat16, report=None) -> Dict[str, Any]:
+    """HF CLIPTextModel state dict → pytree. ``sd_get(name) -> np.ndarray``.
 
-    def lin(name):
-        w = np.asarray(sd_get(f"{name}.weight"))
-        b = np.asarray(sd_get(f"{name}.bias"))
+    With a ``report`` (utils.checkpoint.LoadReport) missing tensors zero-fill
+    (norm weights → ones) with the key recorded — shapes all derive from ``cfg``
+    (reference strict=False analog, util.py:225-237)."""
+
+    def fetch(name, shape, fill=0.0):
+        try:
+            arr = np.asarray(sd_get(name))
+            if report is not None:
+                report.consume(name)
+            return arr
+        except KeyError:
+            if report is None:
+                raise
+            report.miss(name)
+            return np.full(shape, fill, np.float32)
+
+    def lin(name, out_f, in_f):
+        w = fetch(f"{name}.weight", (out_f, in_f))
+        b = fetch(f"{name}.bias", (out_f,))
         return Linear(kernel=jnp.asarray(w.transpose(1, 0), dtype), bias=jnp.asarray(b, dtype), kind="float")
 
     def lnp(name):
         return {
-            "weight": jnp.asarray(np.asarray(sd_get(f"{name}.weight")), dtype),
-            "bias": jnp.asarray(np.asarray(sd_get(f"{name}.bias")), dtype),
+            "weight": jnp.asarray(fetch(f"{name}.weight", (cfg.hidden_size,), fill=1.0), dtype),
+            "bias": jnp.asarray(fetch(f"{name}.bias", (cfg.hidden_size,)), dtype),
         }
 
     blocks = []

@@ -28,18 +28,24 @@ from .t5 import T5Config, load_t5_checkpoint, quantize_t5_params, t5_encode
 
 
 def _hf_state_dict_getter(model_dir: Path) -> Callable[[str], np.ndarray]:
-    """Return sd_get(name) over a (possibly sharded) HF safetensors directory."""
+    """Return sd_get(name) over a (possibly sharded) HF safetensors directory.
+
+    The getter exposes ``sd_get.all_keys`` (every tensor name available) so
+    loaders can report unexpected keys for the tolerant-load surface."""
     index = model_dir / "model.safetensors.index.json"
     if index.exists():
         weight_map: Dict[str, str] = json.loads(index.read_text())["weight_map"]
         files: Dict[str, SafetensorsFile] = {}
 
         def get(name: str) -> np.ndarray:
-            fname = weight_map[name]
+            fname = weight_map.get(name)
+            if fname is None:
+                raise KeyError(name)
             if fname not in files:
                 files[fname] = SafetensorsFile(str(model_dir / fname))
             return files[fname].get(name)
 
+        get.all_keys = set(weight_map)
         return get
     candidates = sorted(model_dir.glob("*.safetensors"))
     if not candidates:
@@ -52,6 +58,7 @@ def _hf_state_dict_getter(model_dir: Path) -> Callable[[str], np.ndarray]:
                 return s.get(name)
         raise KeyError(name)
 
+    get.all_keys = set().union(*(set(s.keys()) for s in shards))
     return get
 
 

@@ -73,6 +73,12 @@ class FluxStatic:
     attn_shard_axes: Optional[Tuple[str, ...]] = None
     # mesh axis for sequence/context parallelism: q rows shard, kv gathered
     attn_seq_axis: Optional[str] = None
+    # fused qkv/linear1/linear2 channel layout: "flat" (reference K-major order —
+    # the single-chip default; measured fastest, 3.138 it/s @1024² int8 v5e) or
+    # "grouped" (head-major per-head groups — applied at shard time under tensor
+    # parallelism so tp shards never cross q/k/v/mlp boundaries; see
+    # utils/checkpoint.py relayout_flux_tree). cfg and params must agree.
+    fused_layout: str = "flat"
 
     @classmethod
     def from_params(
@@ -85,6 +91,13 @@ class FluxStatic:
             )
         if sum(p.axes_dim) != head_dim:
             raise ValueError(f"Got {p.axes_dim} but expected positional dim {head_dim}")
+        mlp_hidden = int(p.hidden_size * p.mlp_ratio)
+        if mlp_hidden % p.num_heads != 0:
+            # the head-major grouped linear1/linear2 layout slices the mlp width per
+            # head (see _single_block / utils/checkpoint.py qkv_out_permutation)
+            raise ValueError(
+                f"mlp width {mlp_hidden} must be divisible by num_heads {p.num_heads}"
+            )
         return cls(
             in_channels=p.in_channels,
             vec_in_dim=p.vec_in_dim,
@@ -308,12 +321,23 @@ def _mlp_embedder(tape: _Tape, name: str, p: Dict[str, Linear], x, dtype):
     return tape.lin(f"{name}.out_layer", p["out_layer"], silu(h), dtype)
 
 
-def _split_qkv(qkv: jnp.ndarray, num_heads: int):
-    """(B, L, 3D) → three (B, L, N, H) tensors; channel order matches the reference's
-    reshape(B, L, K=3, H, D/KH) (flux_model.py:222-225)."""
+def _split_qkv(qkv: jnp.ndarray, num_heads: int, layout: str = "flat"):
+    """(B, L, 3D) → three (B, L, N, H) tensors.
+
+    layout="flat": reference K-major channel order (3, heads, head_dim) — the
+    single-chip default (contiguous q/k/v slabs; measured fastest fusion).
+    layout="grouped": HEAD-MAJOR order (head, {q,k,v}, head_dim) — used under
+    tensor parallelism, where a contiguous tp shard of the out axis holds whole
+    heads with their full q/k/v, so the reshape propagates the sharding straight
+    onto the head axis with zero resharding (utils/checkpoint.py
+    relayout_flux_tree applies the weight permutation at shard time)."""
     b, l, d3 = qkv.shape
-    qkv = qkv.reshape(b, l, 3, num_heads, d3 // (3 * num_heads))
-    return qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    if layout == "flat":
+        # reference K-major reshape (flux_model.py:222-225); contiguous q/k/v slabs
+        qkv = qkv.reshape(b, l, 3, num_heads, d3 // (3 * num_heads))
+        return qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    qkv = qkv.reshape(b, l, num_heads, 3, d3 // (3 * num_heads))
+    return qkv[:, :, :, 0], qkv[:, :, :, 1], qkv[:, :, :, 2]
 
 
 def _double_block(cfg: FluxStatic, blk, img, txt, vec_silu, cos, sin, tape: _Tape):
@@ -329,14 +353,16 @@ def _double_block(cfg: FluxStatic, blk, img, txt, vec_silu, cos, sin, tape: _Tap
 
     img_modulated = modulate(layer_norm(img), i_shift1, i_scale1)
     img_q, img_k, img_v = _split_qkv(
-        tape.lin("img_attn_qkv", blk["img_attn_qkv"], img_modulated, dtype), n
+        tape.lin("img_attn_qkv", blk["img_attn_qkv"], img_modulated, dtype), n,
+        cfg.fused_layout,
     )
     img_q = rms_norm(img_q, blk["img_attn_qnorm"])
     img_k = rms_norm(img_k, blk["img_attn_knorm"])
 
     txt_modulated = modulate(layer_norm(txt), t_shift1, t_scale1)
     txt_q, txt_k, txt_v = _split_qkv(
-        tape.lin("txt_attn_qkv", blk["txt_attn_qkv"], txt_modulated, dtype), n
+        tape.lin("txt_attn_qkv", blk["txt_attn_qkv"], txt_modulated, dtype), n,
+        cfg.fused_layout,
     )
     txt_q = rms_norm(txt_q, blk["txt_attn_qnorm"])
     txt_k = rms_norm(txt_k, blk["txt_attn_knorm"])
@@ -384,17 +410,39 @@ def _single_block(cfg: FluxStatic, blk, x, vec_silu, cos, sin, tape: _Tape):
     shift, scale, gate = jnp.split(mod, 3, axis=-1)
     x_mod = modulate(layer_norm(x), shift, scale)
 
-    lin1 = tape.lin("linear1", blk["linear1"], x_mod, dtype)
-    qkv, mlp = lin1[..., : 3 * hs], lin1[..., 3 * hs :]
-    q, k, v = _split_qkv(qkv, n)
+    # In the "grouped" (tensor-parallel) layout linear1's out-axis is grouped per
+    # head — [q_n | k_n | v_n | mlp_n] — so a tp shard of the out axis carries
+    # whole heads plus their matching mlp slices (utils/checkpoint.py
+    # relayout_flux_tree); "flat" keeps the reference's contiguous [qkv | mlp].
+    b, l = x_mod.shape[:2]
+    hd = cfg.head_dim
+    g = mh // n  # mlp channels per head group
+    if cfg.fused_layout == "flat":
+        lin1 = tape.lin("linear1", blk["linear1"], x_mod, dtype)
+        q, k, v = _split_qkv(lin1[..., : 3 * hs], n, "flat")
+        mlp = lin1[..., 3 * hs :]
+    else:
+        lin1 = tape.lin("linear1", blk["linear1"], x_mod, dtype).reshape(
+            b, l, n, 3 * hd + g
+        )
+        qkv = lin1[..., : 3 * hd].reshape(b, l, n, 3, hd)
+        q, k, v = qkv[..., 0, :], qkv[..., 1, :], qkv[..., 2, :]
+        mlp = lin1[..., 3 * hd :]  # (B, L, N, g)
     q = rms_norm(q, blk["qnorm"])
     k = rms_norm(k, blk["knorm"])
     attn = attention(q, k, v, cos, sin, use_pallas=cfg.use_pallas,
                      shard_axes=cfg.attn_shard_axes, seq_axis=cfg.attn_seq_axis)
 
-    out = tape.lin(
-        "linear2", blk["linear2"], jnp.concatenate([attn, gelu_tanh(mlp)], axis=-1), dtype
-    )
+    if cfg.fused_layout == "flat":
+        x2 = jnp.concatenate([attn, gelu_tanh(mlp)], axis=-1)
+    else:
+        # linear2's in-axis is grouped like linear1's out-axis — [attn_n |
+        # gelu(mlp)_n] per head (utils/checkpoint.py linear2_in_permutation) —
+        # so its row-parallel shard consumes exactly what its heads produced.
+        x2 = jnp.concatenate(
+            [attn.reshape(b, l, n, hd), gelu_tanh(mlp)], axis=-1
+        ).reshape(b, l, n * (hd + g))
+    out = tape.lin("linear2", blk["linear2"], x2, dtype)
     return clamp_policy(x + gate * out, cfg.do_clamp)
 
 

@@ -181,45 +181,66 @@ def quantize_t5_params(params: Dict[str, Any], tier: str) -> Dict[str, Any]:
     return out
 
 
-def load_t5_checkpoint(sd_get, cfg: T5Config, dtype=jnp.bfloat16) -> Dict[str, Any]:
+def load_t5_checkpoint(sd_get, cfg: T5Config, dtype=jnp.bfloat16, report=None) -> Dict[str, Any]:
     """HF T5EncoderModel state dict → pytree. ``sd_get(name) -> np.ndarray``.
 
     HF key layout: shared.weight, encoder.block.{i}.layer.0.SelfAttention.{q,k,v,o}.weight,
     …layer.0.layer_norm.weight, …layer.1.DenseReluDense.{wi_0,wi_1,wo}.weight,
     …layer.1.layer_norm.weight, encoder.final_layer_norm.weight, and the block-0
     relative_attention_bias.
-    """
 
-    def lin(name):
-        w = np.asarray(sd_get(name))
+    With a ``report`` (utils.checkpoint.LoadReport) the load is tolerant: every
+    shape is derivable from ``cfg``, so missing tensors zero-fill (norms → ones)
+    with the key recorded instead of raising (reference strict=False analog,
+    util.py:225-237).
+    """
+    inner = cfg.num_heads * cfg.d_kv
+
+    def fetch(name, shape, fill=0.0):
+        try:
+            arr = np.asarray(sd_get(name))
+            if report is not None:
+                report.consume(name)
+            return arr
+        except KeyError:
+            if report is None:
+                raise
+            report.miss(name)
+            return np.full(shape, fill, np.float32)
+
+    def lin(name, out_f, in_f):
+        w = fetch(name, (out_f, in_f))
         return Linear(kernel=jnp.asarray(w.transpose(1, 0), dtype), kind="float")
 
+    def ln(name):
+        return jnp.asarray(fetch(name, (cfg.d_model,), fill=1.0), dtype)
+
+    d, ff = cfg.d_model, cfg.d_ff
     blocks = []
     for i in range(cfg.num_layers):
         p = f"encoder.block.{i}."
         blocks.append(
             {
-                "q": lin(p + "layer.0.SelfAttention.q.weight"),
-                "k": lin(p + "layer.0.SelfAttention.k.weight"),
-                "v": lin(p + "layer.0.SelfAttention.v.weight"),
-                "o": lin(p + "layer.0.SelfAttention.o.weight"),
-                "ln1": jnp.asarray(np.asarray(sd_get(p + "layer.0.layer_norm.weight")), dtype),
-                "wi_0": lin(p + "layer.1.DenseReluDense.wi_0.weight"),
-                "wi_1": lin(p + "layer.1.DenseReluDense.wi_1.weight"),
-                "wo": lin(p + "layer.1.DenseReluDense.wo.weight"),
-                "ln2": jnp.asarray(np.asarray(sd_get(p + "layer.1.layer_norm.weight")), dtype),
+                "q": lin(p + "layer.0.SelfAttention.q.weight", inner, d),
+                "k": lin(p + "layer.0.SelfAttention.k.weight", inner, d),
+                "v": lin(p + "layer.0.SelfAttention.v.weight", inner, d),
+                "o": lin(p + "layer.0.SelfAttention.o.weight", d, inner),
+                "ln1": ln(p + "layer.0.layer_norm.weight"),
+                "wi_0": lin(p + "layer.1.DenseReluDense.wi_0.weight", ff, d),
+                "wi_1": lin(p + "layer.1.DenseReluDense.wi_1.weight", ff, d),
+                "wo": lin(p + "layer.1.DenseReluDense.wo.weight", d, ff),
+                "ln2": ln(p + "layer.1.layer_norm.weight"),
             }
         )
     return {
-        "shared": jnp.asarray(np.asarray(sd_get("shared.weight")), dtype),
+        "shared": jnp.asarray(fetch("shared.weight", (cfg.vocab_size, d)), dtype),
         "rel_bias": jnp.asarray(
-            np.asarray(
-                sd_get(
-                    "encoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight"
-                )
+            fetch(
+                "encoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight",
+                (cfg.relative_attention_num_buckets, cfg.num_heads),
             ),
             dtype,
         ),
         "blocks": jax.tree.map(lambda *xs: jnp.stack(xs), *blocks),
-        "final_ln": jnp.asarray(np.asarray(sd_get("encoder.final_layer_norm.weight")), dtype),
+        "final_ln": ln("encoder.final_layer_norm.weight"),
     }

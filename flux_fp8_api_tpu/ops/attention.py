@@ -43,13 +43,26 @@ _QKNORM_BLOCKS_MEASURED = {
 }
 
 
+# Runtime-tuned (block_q, block_kv) per joint seq — filled by
+# :func:`autotune_blocks` at pipeline warmup for shapes the measured table doesn't
+# pin (e.g. UI presets 832×1216 → L=4464), persisted beside the XLA compile cache
+# (pipeline.py). The hand-measured table stays authoritative where it has entries.
+_TUNED_BLOCKS = {}
+
+
+def register_tuned_blocks(l: int, blocks) -> None:
+    _TUNED_BLOCKS[int(l)] = (int(blocks[0]), int(blocks[1]))
+
+
 def _pick_blocks(l: int):
-    """Block pair for a joint seq of length l: measured table first; else the largest
-    square divisor ≤1280 (multiple of 8 — every ablated shape ran within a few % of
-    its best there, and exact division beats tail masking); else (512, 512) +
-    in-kernel tail masking."""
+    """Block pair for a joint seq of length l: measured table first; then the
+    warmup-autotuned table; else the largest square divisor ≤1280 (multiple of 8 —
+    every ablated shape ran within a few % of its best there, and exact division
+    beats tail masking); else (512, 512) + in-kernel tail masking."""
     if l in _QKNORM_BLOCKS_MEASURED:
         return _QKNORM_BLOCKS_MEASURED[l]
+    if l in _TUNED_BLOCKS:
+        return _TUNED_BLOCKS[l]
     for d in range(1280, 255, -8):
         if l % d == 0:
             return d, d
@@ -202,3 +215,135 @@ def attention(
         shard_axes=shard_axes, seq_axis=seq_axis,
     )
     return x.reshape(b, l, n * h)
+
+
+# --------------------------------------------------------------------- autotuning
+
+
+def candidate_blocks(l: int, max_candidates: int = 4):
+    """Candidate (block_q, block_kv) pairs for a joint seq the measured table
+    doesn't pin, derived from the patterns that table's winners follow (square,
+    and rectangular with kv 2-3× q — docs/PERF.md block-size ablations):
+    the largest square divisor ≤1280, that divisor with a 2×/3× kv where they
+    still divide ``l`` (kv ≤ 2304), a half-q rectangle, and the masked (512, 512)
+    fallback when nothing divides. All multiples of 8 (Mosaic (8, 128) tiling)."""
+    sq = next((d for d in range(1280, 255, -8) if l % d == 0), None)
+    cands = []
+    if sq is not None:
+        cands.append((sq, sq))
+        for mult in (2, 3):
+            if sq * mult <= 2304 and l % (sq * mult) == 0:
+                cands.append((sq, sq * mult))
+        bq = next((d for d in range(768, 255, -8) if l % d == 0), None)
+        if bq is not None and bq != sq:
+            cands.append((bq, sq))
+            if sq * 2 <= 2304 and l % (sq * 2) == 0:
+                cands.append((bq, sq * 2))
+    else:
+        cands.append((512, 512))  # tail-masked
+    return cands[:max_candidates]
+
+
+def benchmark_blocks(
+    l: int,
+    blocks,
+    folded_heads: int = 24,
+    head_dim: int = 128,
+    dtype=jnp.bfloat16,
+    iters: int = 24,
+    interpret: bool = False,
+):
+    """Per-call seconds for one (block_q, block_kv) candidate at joint seq ``l``,
+    measured exactly the way the model calls the kernel (rope fused, folded
+    batch·head axis).
+
+    Tunnel-safe timing (CLAUDE.md): the per-dispatch floor through the axon tunnel
+    is ~32ms, so the kernel runs ``iters`` times under one jitted ``lax.scan`` with
+    the output carried back into q (nothing hoists), and the clock stops on a value
+    fetch — ``block_until_ready`` is a no-op through the tunnel."""
+    import time
+
+    from .attention_kernel import qknorm_attention
+
+    bq, bkv = int(blocks[0]), int(blocks[1])
+    sm_scale = 1.0 / (head_dim**0.5)
+    ks = jax.random.split(jax.random.PRNGKey(17), 3)
+    q = jax.random.normal(ks[0], (folded_heads, l, head_dim), dtype)
+    k = jax.random.normal(ks[1], (folded_heads, l, head_dim), dtype)
+    v = jax.random.normal(ks[2], (folded_heads, l, head_dim), dtype)
+    # rope tables: values are irrelevant to timing, unit-magnitude keeps exp safe
+    t = jnp.linspace(0.0, 1.0, l * head_dim, dtype=jnp.float32).reshape(l, head_dim)
+    cos, sin = jnp.cos(t), jnp.sin(t)
+
+    @jax.jit
+    def bench(q, k, v, cos, sin):
+        def body(carry, _):
+            o = qknorm_attention(
+                carry, k, v, sm_scale, block_q=bq, block_kv=bkv,
+                cos=cos, sin=sin, cos_q=cos, sin_q=sin, interpret=interpret,
+            )
+            return o.astype(carry.dtype), None
+
+        out, _ = jax.lax.scan(body, q, None, length=iters)
+        return out
+
+    float(jnp.sum(bench(q, k, v, cos, sin)))  # compile + first run
+    t0 = time.perf_counter()
+    float(jnp.sum(bench(q, k, v, cos, sin)))  # timed: value fetch ends the clock
+    return (time.perf_counter() - t0) / iters
+
+
+def autotune_blocks(
+    l: int,
+    folded_heads: int = 24,
+    head_dim: int = 128,
+    dtype=jnp.bfloat16,
+    iters: int = 24,
+    interpret: bool = False,
+    log=None,
+):
+    """Measure every candidate block pair for joint seq ``l`` on the current device
+    and register the winner in the tuned table (the inductor-autotune analog,
+    SURVEY.md §2.3 torch.compile row). Returns {(bq, bkv): seconds} for logging /
+    persistence. No-op (returns existing entry) if ``l`` is already pinned."""
+    if l in _QKNORM_BLOCKS_MEASURED or l in _TUNED_BLOCKS:
+        return {}
+    timings = {}
+    for cand in candidate_blocks(l):
+        timings[cand] = benchmark_blocks(
+            l, cand, folded_heads, head_dim, dtype, iters, interpret
+        )
+        if log is not None:
+            log(f"autotune L={l}: blocks {cand} → {timings[cand] * 1e3:.2f} ms/call")
+    best = min(timings, key=timings.get)
+    register_tuned_blocks(l, best)
+    if log is not None:
+        log(f"autotune L={l}: picked {best}")
+    return timings
+
+
+def save_tuned_blocks(path: str) -> None:
+    """Persist the autotuned table (JSON) — lives beside the XLA compile cache so a
+    server restart reuses both the executables and the block choices."""
+    import json
+
+    with open(path, "w") as f:
+        json.dump({str(l): list(b) for l, b in sorted(_TUNED_BLOCKS.items())}, f)
+
+
+def load_tuned_blocks(path: str) -> int:
+    """Load a persisted tuned table; unknown/corrupt files are ignored (the
+    autotuner just re-measures). Returns the number of entries loaded."""
+    import json
+    import os
+
+    if not os.path.exists(path):
+        return 0
+    try:
+        with open(path) as f:
+            data = json.load(f)
+        for l, b in data.items():
+            register_tuned_blocks(int(l), (int(b[0]), int(b[1])))
+        return len(data)
+    except (ValueError, KeyError, IndexError, TypeError, OSError):
+        return 0

@@ -168,6 +168,10 @@ def quantize_linear_int4(kernel: jnp.ndarray, bias: Optional[jnp.ndarray]) -> Li
     concat instead of an even/odd interleave, which XLA would lower to a costly
     sublane shuffle (measured 1.80 vs 3.1 it/s @1024² with interleaved packing).
     """
+    # 2D only: the packing slices axis 0 as the in-axis — a depth-stacked kernel
+    # would silently pack along depth and corrupt weights (stacked leaves go
+    # through vmap, see quantize_flux_tree)
+    assert kernel.ndim == 2, f"expected (in, out) kernel, got {kernel.shape} — vmap stacked leaves"
     in_f = kernel.shape[-2]
     assert in_f % 2 == 0, f"in_features {in_f} must be even for int4 packing"
     k32 = kernel.astype(jnp.float32)

@@ -14,14 +14,18 @@ Tensor-parallel layout (Megatron-style, per transformer block):
 - everything tiny (norms, embedders, final layer) replicated;
 - batch over dp for both inference and training (grads all-reduce over dp).
 
-LAYOUT CAVEAT: the fused qkv (and linear1 / 6·hs modulation) out-axis is K-major —
-channels ordered (3, heads, head_dim) — so a contiguous tp shard crosses the q/k/v
-(and qkv|mlp, 6-chunk) boundaries. GSPMD keeps results correct but inserts
-resharding collectives between those GEMMs and the per-head attention / chunk
-splits, rather than the zero-collective Megatron ideal. A head-major out-axis
-permutation at shard time would remove them; it interacts with the rope channel
-permutation, checkpoint maps, and LoRA fuse, and is unmeasurable in this
-single-chip environment — left as the known cost of the current layout.
+LAYOUT: under tp the fused qkv and linear1 out-axes run HEAD-MAJOR — channels
+grouped per head as [q_n | k_n | v_n (| mlp_n)] and linear2's in-axis grouped to
+match (utils/checkpoint.py grouped_qkv_permutation / linear2_in_permutation,
+applied at shard time by the pipeline via relayout_flux_tree; single-chip keeps
+the flat reference layout, measured faster fusion) — so a contiguous tp
+shard of those axes carries whole heads plus their mlp slices. GSPMD then runs
+the Megatron ideal with no weight resharding: the only per-block collectives are
+one all-reduce after each row-parallel GEMM (proj / mlp_down / linear2) plus a
+tiny (B, 6·hs) all-gather of each modulation vector (modulation stays
+column-sharded for its ~2.6GB/chip of weights; its M=batch GEMM output is KBs).
+tests/test_parallel.py pins the exact HLO collective budget so a layout
+regression cannot land silently.
 """
 
 from __future__ import annotations

@@ -168,6 +168,19 @@ class FluxPipeline:
                     logger.info(
                         "mesh: heads don't divide the mesh axes — using XLA attention"
                     )
+            if mesh_spec.get("tp", 1) > 1 and self.model_cfg is not None:
+                # tensor parallelism runs the HEAD-MAJOR fused layout: a contiguous
+                # tp shard of qkv/linear1/linear2 then carries whole heads (plus
+                # their mlp slices) and GSPMD needs zero weight resharding
+                # (parallel/mesh.py; tests/test_parallel.py pins the HLO collective
+                # budget). Pure permutation — outputs unchanged; prequant export
+                # inverts it (save_prequantized), LoRA fuse composes with it.
+                from .utils.checkpoint import relayout_flux_tree
+
+                self.model_cfg = dataclasses.replace(self.model_cfg, fused_layout="grouped")
+                if model is not None:
+                    model = relayout_flux_tree(model, self.model_cfg)
+                logger.info("mesh serving: head-major (grouped) fused layout for tp")
 
         self.model_params = (
             jax.device_put(model, self._host)
@@ -192,6 +205,10 @@ class FluxPipeline:
         self._trials_done = 0
 
         self.loras: List = []  # LoraWeights registry (reference flux_model.py:518)
+        # streamed-offload state: (jitted fns, device tops, host per-block slices);
+        # built lazily on the first streamed generate, invalidated whenever the
+        # flow params change (LoRA fuse/unfuse, calibration freeze)
+        self._stream_state = None
         # per-phase wall-clock of the last generate (tracing/profiling surface —
         # SURVEY.md §5: the reference's only metric is the tqdm it/s)
         self.timings: Dict[str, float] = {}
@@ -254,6 +271,25 @@ class FluxPipeline:
         from .parallel.mesh import shard_flux_params
 
         return shard_flux_params(params, self.mesh)
+
+    def _ensure_stream_state(self):
+        """Build (or reuse) the streamed-offload state: jitted per-block fns, the
+        small top-level params resident on the flux device, and host per-block
+        weight slices (offload.py)."""
+        if self._stream_state is None:
+            from . import offload as offload_mod
+
+            tops, dbl, sgl = offload_mod.split_flow_params(self.model_params)
+            self._stream_state = (
+                offload_mod.make_stream_fns(self.model_cfg),
+                jax.device_put(tops, self.device_flux),
+                dbl,
+                sgl,
+            )
+        return self._stream_state
+
+    def _invalidate_stream(self):
+        self._stream_state = None
 
     def _put_flow_input(self, x, batch_sharded: bool = True):
         """Activations → flux device, or onto the mesh (batch over dp when it
@@ -447,6 +483,7 @@ class FluxPipeline:
                 self._amax_running = merge_amax_jit(self._amax_running, amaxes)
                 self.model_params = apply_input_scales_jit(self.model_params, self._amax_running)
                 self._trials_done += 1
+                self._invalidate_stream()  # input scales changed under the params
                 if self._trials_done >= self.config.num_scale_trials:
                     self._needs_calibration = False
             else:
@@ -495,7 +532,16 @@ class FluxPipeline:
         img = self._put_flow_input(img)
         self.timings["prepare_seconds"] = time.perf_counter() - t_prepare
 
-        if self.offload_flow:
+        # streamed offload (offload.py): weights stay host-resident and flow to the
+        # chip per block, double-buffered under the denoise loop. Calibration and
+        # mesh serving use the legacy whole-tree placement.
+        streaming = (
+            self.offload_flow
+            and not self._needs_calibration
+            and self.mesh is None
+            and self.config.stream_flow_offload
+        )
+        if self.offload_flow and not streaming:
             self.model_params = self._place_flow(self.model_params)
 
         t_denoise = time.perf_counter()
@@ -505,6 +551,15 @@ class FluxPipeline:
                 img = self._calibration_denoise(
                     img, img_ids, txt, txt_ids, vec, timesteps, guidance, silent,
                     cfg=run_cfg,
+                )
+            elif streaming:
+                from . import offload as offload_mod
+
+                fns, tops, dbl, sgl = self._ensure_stream_state()
+                img = offload_mod.streamed_denoise(
+                    fns, tops, dbl, sgl, self.device_flux,
+                    img, img_ids, txt, txt_ids, vec, timesteps, guidance,
+                    run_cfg, progress=not silent,
                 )
             else:
                 # silent (server) mode: fused whole-loop scan — fastest. Interactive
@@ -531,7 +586,7 @@ class FluxPipeline:
             self.timings["denoise_seconds"], 1e-9
         )
 
-        if self.offload_flow:
+        if self.offload_flow and not streaming:
             self.model_params = jax.device_put(self.model_params, self._host)
 
         t_decode = time.perf_counter()
@@ -567,6 +622,7 @@ class FluxPipeline:
         self.model_params, self.loras = lora_mod.pipeline_load_lora(
             self.model_params, self.model_cfg, self.loras, lora_path, scale, name
         )
+        self._invalidate_stream()
 
     def unload_lora(self, path_or_identifier: str):
         """Unfuse a previously loaded LoRA (reference flux_pipeline.py:170-177)."""
@@ -575,17 +631,74 @@ class FluxPipeline:
         self.model_params, self.loras = lora_mod.pipeline_unload_lora(
             self.model_params, self.model_cfg, self.loras, path_or_identifier
         )
+        self._invalidate_stream()
 
-    def warmup(self, resolutions, num_steps: int = 4, prompt: str = "warmup"):
+    def warmup(
+        self,
+        resolutions,
+        num_steps: int = 4,
+        prompt: str = "warmup",
+        autotune: Optional[bool] = None,
+        precompile_interactive: bool = True,
+    ):
         """Pre-compile the denoise/VAE buckets for a list of (width, height) pairs —
         the AOT analog of torch dynamo's per-shape recompiles (reference caches via
         dynamo config, flux_pipeline.py:27-28). Called by :meth:`compile`; safe to
-        call again for additional buckets before serving traffic."""
+        call again for additional buckets before serving traffic.
+
+        ``autotune`` (default: on, when serving single-chip Pallas on a real TPU)
+        measures candidate attention (block_q, block_kv) pairs for each bucket's
+        joint sequence before compiling it, so shapes the hand-measured table
+        doesn't pin (e.g. the Gradio presets, joint seq 4464/4544) still run their
+        measured-best blocks — the inductor-autotune analog (SURVEY.md §2.3). Tuned
+        choices persist to ``attn_blocks.json`` beside the XLA compile cache when
+        ``compilation_cache_dir`` is configured, so restarts skip the re-measure."""
+        import os
+
+        from .ops import attention as attn_mod
+
+        if autotune is None:
+            autotune = (
+                jax.default_backend() == "tpu"
+                and self.model_cfg is not None
+                and self.model_cfg.use_pallas
+                and self.mesh is None  # single-chip timings don't transfer to shards
+            )
+        blocks_path = (
+            os.path.join(self.config.compilation_cache_dir, "attn_blocks.json")
+            if self.config.compilation_cache_dir
+            else None
+        )
+        if autotune and blocks_path:
+            n = attn_mod.load_tuned_blocks(blocks_path)
+            if n:
+                logger.info(f"loaded {n} autotuned attention block entries from {blocks_path}")
         for width, height in resolutions:
+            if autotune:
+                joint = self.config.text_enc_max_length + (height // 16) * (width // 16)
+                attn_mod.autotune_blocks(
+                    joint,
+                    folded_heads=self.model_cfg.num_heads,
+                    head_dim=self.model_cfg.head_dim,
+                    dtype=self.model_cfg.dtype,
+                    log=logger.info,
+                )
             self.generate(
                 prompt=prompt, width=width, height=height, num_steps=num_steps,
                 seed=0, silent=True,
             )
+            if precompile_interactive:
+                # the interactive (non-silent) mode runs the per-step jit with a
+                # tqdm bar instead of the fused scan; one 1-step generate compiles
+                # it for this bucket so the first real interactive request after
+                # "-C" doesn't pause. The step jit is num_steps-agnostic (timestep
+                # scalars are traced args).
+                self.generate(
+                    prompt=prompt, width=width, height=height, num_steps=1, seed=0,
+                    silent=False,
+                )
+        if autotune and blocks_path and attn_mod._TUNED_BLOCKS:
+            attn_mod.save_tuned_blocks(blocks_path)
 
     def profile(self, log_dir: str):
         """jax.profiler trace context for one or more generates (SURVEY.md §5 tracing
@@ -608,11 +721,15 @@ class FluxPipeline:
                 "input scales are not calibrated yet — run generate() for at least "
                 f"{self.config.num_scale_trials} steps (or compile()) before saving"
             )
-        from .utils.checkpoint import save_prequantized as _save
+        from .utils.checkpoint import relayout_flux_tree, save_prequantized as _save
 
+        params = self.model_params
+        if self.model_cfg is not None and self.model_cfg.fused_layout == "grouped":
+            # files always store the flat (reference K-major) layout
+            params = relayout_flux_tree(params, self.model_cfg, inverse=True)
         _save(
             path,
-            self.model_params,
+            params,
             extra_meta={
                 "quantize_modulation": str(self.config.quantize_modulation),
                 "quantize_flow_embedder_layers": str(

@@ -118,6 +118,9 @@ class PipelineServer:
         out = dict(self.metrics)
         if out["requests"]:
             out["avg_seconds"] = out["total_seconds"] / out["requests"]
+        # last-request per-phase timings incl. the reference's headline denoise
+        # it/s metric (flux_pipeline.py:628-630 tqdm rate; SURVEY.md §5 tracing)
+        out.update(getattr(self.pipeline, "timings", {}))
         return 200, "application/json", json.dumps(out).encode()
 
     # --------------------------------------------------------------------- server

@@ -27,7 +27,56 @@ from ..models.flux import FluxStatic, init_flux_params
 from ..ops.quant import Linear
 from ..ops.rope import deinterleave_permutation
 from ..utils.config import AutoEncoderParams
+from ..utils.logging import logger
 from .safetensors_io import SafetensorsFile, save_safetensors
+
+
+class LoadReport:
+    """Missing/unexpected-key accounting for tolerant (strict=False) checkpoint
+    loading — the reference loads with ``strict=False`` and prints warnings
+    (util.py:225-237 ``print_load_warning``, flux_model.py:730-733) where a bare
+    KeyError would crash on real-world checkpoint variants (extra EMA keys, a
+    missing bias). Loaders record every key they consume and every expected key
+    they found absent; :meth:`finish` warns (default) or raises (strict=True)."""
+
+    def __init__(self, name: str):
+        self.name = name
+        self.missing: list = []
+        self.unexpected: list = []
+        self._consumed: set = set()
+
+    def consume(self, key: str) -> None:
+        self._consumed.add(key)
+
+    def has(self, sd, key: str) -> bool:
+        """Membership probe that records hits as consumed."""
+        present = key in sd
+        if present:
+            self._consumed.add(key)
+        return present
+
+    def miss(self, key: str) -> None:
+        self.missing.append(key)
+
+    @staticmethod
+    def _fmt(keys, cap: int = 12) -> str:
+        keys = sorted(keys)
+        tail = f" … +{len(keys) - cap} more" if len(keys) > cap else ""
+        return f"{keys[:cap]}{tail}"
+
+    def finish(self, all_keys, strict: bool = False) -> "LoadReport":
+        self.unexpected = sorted(set(all_keys) - self._consumed)
+        if self.missing:
+            msg = f"{self.name}: missing keys (zero/identity-initialized): {self._fmt(self.missing)}"
+            if strict:
+                raise KeyError(msg)
+            logger.warning(msg)
+        if self.unexpected:
+            msg = f"{self.name}: unexpected keys (ignored): {self._fmt(self.unexpected)}"
+            if strict:
+                raise KeyError(msg)
+            logger.warning(msg)
+        return self
 
 # ------------------------------------------------------------------ flux (BFL format)
 
@@ -65,22 +114,45 @@ _TOP_LINEARS = {
 _MLP_EMBEDDERS = ("time_in", "vector_in", "guidance_in")
 
 
-def _get_linear(sd, torch_prefix: str, dtype) -> Linear:
-    """Load one linear; handles both float and reference-prequantized layouts."""
+def _get_linear(
+    sd, torch_prefix: str, dtype, expected: Optional[Linear] = None,
+    report: Optional[LoadReport] = None,
+) -> Linear:
+    """Load one linear; handles both float and reference-prequantized layouts.
+
+    With ``report`` (+ ``expected``, a Linear of ShapeDtypeStructs from the init
+    skeleton) the load is tolerant: a missing weight/bias becomes zeros of the
+    expected shape and is recorded, mirroring the reference's strict=False load
+    (util.py:240-256). Without a report, missing mandatory keys raise KeyError."""
+
+    def have(key: str) -> bool:
+        return report.has(sd, key) if report is not None else key in sd
+
+    bias_key = f"{torch_prefix}.bias"
     f8_key = f"{torch_prefix}.float8_data"
-    if f8_key in sd:
+    if have(f8_key):
         # reference prequantized F8Linear serialization (float8_quantize.py:91-193)
         q = jnp.asarray(np.asarray(sd.get(f8_key)).transpose(1, 0))  # (out,in)→(in,out)
-        w_scale = jnp.asarray(np.asarray(sd.get(f"{torch_prefix}.scale")), jnp.float32).reshape(())
-        bias_key = f"{torch_prefix}.bias"
-        # SafetensorsFile.get raises on missing keys (unlike dict.get) — guard for
-        # bias-less exported variants
-        bias = sd.get(bias_key) if bias_key in sd else None
+        scale_key = f"{torch_prefix}.scale"
+        if have(scale_key):
+            w_scale = jnp.asarray(np.asarray(sd.get(scale_key)), jnp.float32).reshape(())
+        elif report is not None:
+            report.miss(scale_key)
+            w_scale = jnp.float32(1.0)
+        else:
+            raise KeyError(scale_key)
+        # consume the serialization's derived/placeholder keys so they don't show
+        # up as "unexpected": reciprocals and the 1-element freed-weight stub
+        for aux in (".scale_reciprocal", ".input_scale_reciprocal", ".weight"):
+            have(f"{torch_prefix}{aux}")
+        bias = sd.get(bias_key) if have(bias_key) else None
+        if bias is None and report is not None and expected is not None and expected.bias is not None:
+            report.miss(bias_key)
+            bias = np.zeros(expected.bias.shape, np.float32)
         in_scale_key = f"{torch_prefix}.input_scale"
-        has_in = in_scale_key in sd
         in_scale = (
             jnp.asarray(np.asarray(sd.get(in_scale_key)), jnp.float32).reshape(())
-            if has_in
+            if have(in_scale_key)
             else jnp.float32(1.0)
         )
         return Linear(
@@ -92,74 +164,131 @@ def _get_linear(sd, torch_prefix: str, dtype) -> Linear:
             bias=jnp.asarray(np.asarray(bias), dtype) if bias is not None else None,
             kind="fp8",
         )
-    w = np.asarray(sd.get(f"{torch_prefix}.weight"))
-    bias_key = f"{torch_prefix}.bias"
-    b = np.asarray(sd.get(bias_key)) if bias_key in sd else None
-    return Linear(
-        kernel=jnp.asarray(w.transpose(1, 0), dtype),
-        bias=jnp.asarray(b, dtype) if b is not None else None,
-        kind="float",
-    )
+    w_key = f"{torch_prefix}.weight"
+    if have(w_key):
+        kernel = jnp.asarray(np.asarray(sd.get(w_key)).transpose(1, 0), dtype)
+    elif report is not None and expected is not None:
+        report.miss(w_key)
+        kernel = jnp.zeros(expected.kernel.shape, dtype)
+    else:
+        raise KeyError(w_key)
+    if have(bias_key):
+        b = jnp.asarray(np.asarray(sd.get(bias_key)), dtype)
+    elif report is not None and expected is not None and expected.bias is not None:
+        report.miss(bias_key)
+        b = jnp.zeros(expected.bias.shape, dtype)
+    else:
+        b = None
+    return Linear(kernel=kernel, bias=b, kind="float")
+
+
+def _unstack_struct(lin: Linear) -> Linear:
+    """Per-block expected shapes from a depth-stacked skeleton Linear (drop the
+    leading depth axis of each ShapeDtypeStruct field)."""
+
+    def drop(s):
+        return None if s is None else jax.ShapeDtypeStruct(s.shape[1:], s.dtype)
+
+    return Linear(kernel=drop(lin.kernel), bias=drop(lin.bias), kind="float")
 
 
 def load_flux_checkpoint(
-    path_or_file, cfg: FluxStatic, dtype: Optional[jnp.dtype] = None
+    path_or_file,
+    cfg: FluxStatic,
+    dtype: Optional[jnp.dtype] = None,
+    strict: bool = False,
 ) -> Dict[str, Any]:
     """BFL flux safetensors → stacked param pytree (reference load_flow_model,
     util.py:240-256). Detects reference-prequantized files automatically. Accepts a
     path or an already-open SafetensorsFile (one header parse for the multi-GB
-    file, shared with the caller's format detection)."""
+    file, shared with the caller's format detection).
+
+    Like the reference (``strict=False`` + ``print_load_warning``, util.py:225-237),
+    the load tolerates checkpoint variants: missing linears/biases zero-initialize,
+    missing qk-norm scales become identity, extra keys are ignored — each with a
+    warning naming the keys. ``strict=True`` raises instead."""
     dtype = dtype or cfg.dtype
     sd = _as_stf(path_or_file)
+    report = LoadReport(f"flux checkpoint {getattr(sd, 'path', '')}")
+    # expected leaf shapes without allocating anything (eval_shape)
+    skeleton = jax.eval_shape(lambda: init_flux_params(jax.random.PRNGKey(0), cfg, dtype))
 
     def stack(leaves):
         return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *leaves)
+
+    def norm(key: str) -> jnp.ndarray:
+        if report.has(sd, key):
+            return jnp.asarray(np.asarray(sd.get(key)), dtype)
+        report.miss(key)
+        return jnp.ones((cfg.head_dim,), dtype)  # identity qk-norm
 
     doubles = []
     for i in range(cfg.depth):
         p = f"double_blocks.{i}."
         blk: Dict[str, Any] = {
-            ours: _get_linear(sd, p + theirs, dtype) for ours, theirs in _DOUBLE_KEYMAP.items()
+            ours: _get_linear(
+                sd, p + theirs, dtype,
+                expected=_unstack_struct(skeleton["double_blocks"][ours]),
+                report=report,
+            )
+            for ours, theirs in _DOUBLE_KEYMAP.items()
         }
         for ours, theirs in _DOUBLE_NORMMAP.items():
-            blk[ours] = jnp.asarray(np.asarray(sd.get(p + theirs)), dtype)
+            blk[ours] = norm(p + theirs)
         doubles.append(blk)
 
     singles = []
     for i in range(cfg.depth_single_blocks):
         p = f"single_blocks.{i}."
         blk = {
-            ours: _get_linear(sd, p + theirs, dtype) for ours, theirs in _SINGLE_KEYMAP.items()
+            ours: _get_linear(
+                sd, p + theirs, dtype,
+                expected=_unstack_struct(skeleton["single_blocks"][ours]),
+                report=report,
+            )
+            for ours, theirs in _SINGLE_KEYMAP.items()
         }
         for ours, theirs in _SINGLE_NORMMAP.items():
-            blk[ours] = jnp.asarray(np.asarray(sd.get(p + theirs)), dtype)
+            blk[ours] = norm(p + theirs)
         singles.append(blk)
 
     tree: Dict[str, Any] = {
-        name: _get_linear(sd, theirs, dtype) for name, theirs in _TOP_LINEARS.items()
+        name: _get_linear(sd, theirs, dtype, expected=skeleton[name], report=report)
+        for name, theirs in _TOP_LINEARS.items()
     }
     for name in _MLP_EMBEDDERS:
         if name == "guidance_in" and not cfg.guidance_embed:
             tree[name] = None
             continue
         tree[name] = {
-            "in_layer": _get_linear(sd, f"{name}.in_layer", dtype),
-            "out_layer": _get_linear(sd, f"{name}.out_layer", dtype),
+            layer: _get_linear(
+                sd, f"{name}.{layer}", dtype, expected=skeleton[name][layer], report=report
+            )
+            for layer in ("in_layer", "out_layer")
         }
     tree["double_blocks"] = stack(doubles)
     tree["single_blocks"] = stack(singles)
     tree["final_layer"] = {
-        "linear": _get_linear(sd, "final_layer.linear", dtype),
-        "adaln": _get_linear(sd, "final_layer.adaLN_modulation.1", dtype),
+        "linear": _get_linear(
+            sd, "final_layer.linear", dtype,
+            expected=skeleton["final_layer"]["linear"], report=report,
+        ),
+        "adaln": _get_linear(
+            sd, "final_layer.adaLN_modulation.1", dtype,
+            expected=skeleton["final_layer"]["adaln"], report=report,
+        ),
     }
+    report.finish(sd.keys(), strict=strict)
     # checkpoints store the interleaved rope layout; runtime uses half-split
     return deinterleave_flux_tree(tree, cfg)
 
 
 def qkv_out_permutation(hidden_size: int, head_dim: int, extra: int = 0) -> np.ndarray:
     """Output-axis permutation for a fused qkv(+mlp) kernel that converts the
-    checkpoint's interleaved rope channel layout into the runtime's half-split layout
-    (see ops/rope.py): q and k sections permute per-head, v (and any mlp tail) stay.
+    checkpoint's interleaved rope channel layout into the runtime's half-split
+    ("flat") layout (see ops/rope.py): q and k sections permute per-head, v (and any
+    mlp tail) stay. K-major channel order is preserved — the tensor-parallel
+    head-major regroup is a separate, shard-time relayout (:func:`relayout_flux_tree`).
 
     ``extra``: width of a trailing non-attention section (single-block linear1's
     mlp_in part).
@@ -175,6 +304,84 @@ def qkv_out_permutation(hidden_size: int, head_dim: int, extra: int = 0) -> np.n
             np.arange(3 * hidden_size, 3 * hidden_size + extra),  # mlp tail untouched
         ]
     )
+
+
+def grouped_qkv_permutation(hidden_size: int, head_dim: int, extra: int = 0) -> np.ndarray:
+    """Flat→grouped output-axis permutation for a fused qkv(+mlp) kernel: the flat
+    K-major order (3, heads, head_dim) regroups to HEAD-MAJOR per-head groups
+    [q_n | k_n | v_n (| mlp_n)] — with ``extra`` (single-block linear1's mlp_in
+    tail) the mlp channels are sliced per head too. A contiguous tensor-parallel
+    shard of the grouped axis then carries whole heads (plus their mlp slices), so
+    GSPMD runs Megatron column parallelism with zero weight resharding between the
+    GEMM and the per-head attention split (parallel/mesh.py). Applied at shard
+    time by :func:`relayout_flux_tree`; single-chip serving keeps the flat layout
+    (measured faster fusion — see docs/PERF.md)."""
+    n_heads = hidden_size // head_dim
+    g = 0
+    if extra:
+        if extra % n_heads:
+            raise ValueError(f"mlp width {extra} must divide across {n_heads} heads")
+        g = extra // n_heads
+    idx = np.arange(head_dim)
+    groups = []
+    for n in range(n_heads):
+        base = n * head_dim
+        parts = [base + idx, hidden_size + base + idx, 2 * hidden_size + base + idx]
+        if extra:
+            parts.append(3 * hidden_size + n * g + np.arange(g))  # mlp_n
+        groups.append(np.concatenate(parts))
+    return np.concatenate(groups)
+
+
+def linear2_in_permutation(hidden_size: int, head_dim: int, mlp_hidden: int) -> np.ndarray:
+    """Flat→grouped input-axis permutation for single-block linear2: the flat
+    concat [attn (hidden) | mlp (mlp_hidden)] becomes per-head groups
+    [attn_n (head_dim) | mlp_n (mlp_hidden/heads)], matching linear1's grouped
+    out-axis — a row-parallel tp shard of linear2 then consumes exactly the
+    activations its own heads produced (zero resharding, parallel/mesh.py)."""
+    n_heads = hidden_size // head_dim
+    if mlp_hidden % n_heads:
+        raise ValueError(f"mlp width {mlp_hidden} must divide across {n_heads} heads")
+    g = mlp_hidden // n_heads
+    groups = []
+    for n in range(n_heads):
+        groups.append(
+            np.concatenate(
+                [n * head_dim + np.arange(head_dim), hidden_size + n * g + np.arange(g)]
+            )
+        )
+    return np.concatenate(groups)
+
+
+def relayout_flux_tree(tree: Dict[str, Any], cfg: FluxStatic, inverse: bool = False) -> Dict[str, Any]:
+    """Relayout the fused qkv/linear1/linear2 channel axes between the "flat"
+    (single-chip) and "grouped" (tensor-parallel head-major) layouts — a pure
+    permutation, outputs mathematically unchanged. ``inverse=True`` converts
+    grouped→flat (used when exporting a prequantized checkpoint from a meshed
+    pipeline: files always store the flat layout). Works on float and quantized
+    leaves; the matching model flag is ``FluxStatic.fused_layout``."""
+    hd = cfg.head_dim
+    qkv_perm = grouped_qkv_permutation(cfg.hidden_size, hd)
+    lin1_perm = grouped_qkv_permutation(cfg.hidden_size, hd, extra=cfg.mlp_hidden)
+    lin2_perm = linear2_in_permutation(cfg.hidden_size, hd, cfg.mlp_hidden)
+    if inverse:
+        qkv_perm, lin1_perm, lin2_perm = (
+            np.argsort(qkv_perm), np.argsort(lin1_perm), np.argsort(lin2_perm)
+        )
+    qkv_perm, lin1_perm, lin2_perm = (
+        jnp.asarray(qkv_perm), jnp.asarray(lin1_perm), jnp.asarray(lin2_perm)
+    )
+
+    out = dict(tree)
+    db = dict(tree["double_blocks"])
+    for name in ("img_attn_qkv", "txt_attn_qkv"):
+        db[name] = _permute_linear_out(db[name], qkv_perm)
+    out["double_blocks"] = db
+    sb = dict(tree["single_blocks"])
+    sb["linear1"] = _permute_linear_out(sb["linear1"], lin1_perm)
+    sb["linear2"] = _permute_linear_in(sb["linear2"], lin2_perm)
+    out["single_blocks"] = sb
+    return out
 
 
 def _permute_linear_out(lin: Linear, perm: np.ndarray) -> Linear:
@@ -196,10 +403,39 @@ def _permute_linear_out(lin: Linear, perm: np.ndarray) -> Linear:
     )
 
 
+def _permute_linear_in(lin: Linear, perm: np.ndarray) -> Linear:
+    """Permute a Linear's input channels (kernel/q rows). Per-out-channel scales,
+    bias and input scales are untouched — only the contraction order changes.
+
+    Kinds whose in-axis is packed multiple-rows-per-byte (int4 half-split,
+    blockwise wo_int4/wo_int2) can't be row-permuted in place: those round-trip
+    dequantize → permute → requantize via ops.quant.with_kernel (which keeps the
+    tuned input scales). The per-out-channel-scaled int4 round-trip is exact;
+    wo_* recomputes blockwise amax over the permuted rows (same values, new
+    block membership — sub-quantization-step drift)."""
+    import dataclasses
+
+    from ..ops.quant import dequantize_kernel, with_kernel
+
+    if lin.q is not None and lin.kind in ("int4", "wo_int4", "wo_int2"):
+
+        def roundtrip(l):
+            return with_kernel(l, dequantize_kernel(l)[perm, :], l.bias)
+
+        return jax.vmap(roundtrip)(lin) if lin.q.ndim == 3 else roundtrip(lin)
+
+    def prows(a):
+        return None if a is None else a[..., perm, :]
+
+    return dataclasses.replace(lin, kernel=prows(lin.kernel), q=prows(lin.q))
+
+
 def deinterleave_flux_tree(tree: Dict[str, Any], cfg: FluxStatic) -> Dict[str, Any]:
     """Apply the rope deinterleave permutation to every q/k-producing kernel and the
-    qk-norm scales. Model outputs are mathematically unchanged (test_ops.py proves
-    score equivalence); rope then runs with full-width vector ops."""
+    qk-norm scales, producing the runtime "flat" layout. Model outputs are
+    mathematically unchanged (test_ops.py proves score equivalence); rope then runs
+    with full-width vector ops. The tensor-parallel "grouped" relayout is separate
+    (:func:`relayout_flux_tree`, applied at shard time)."""
     hd = cfg.head_dim
     head_perm = jnp.asarray(deinterleave_permutation(hd))
     qkv_perm = jnp.asarray(qkv_out_permutation(cfg.hidden_size, hd))
@@ -245,25 +481,50 @@ def reference_prequant_has_input_scales(path_or_file) -> bool:
 # ----------------------------------------------------------------------- autoencoder
 
 
-def load_ae_checkpoint(path: str, cfg: AutoEncoderParams, dtype=jnp.bfloat16) -> Dict[str, Any]:
+def load_ae_checkpoint(
+    path: str, cfg: AutoEncoderParams, dtype=jnp.bfloat16, strict: bool = False
+) -> Dict[str, Any]:
     """BFL ae.sft → NHWC param pytree (reference load_autoencoder, util.py:278-295).
 
-    Conv kernels OIHW → HWIO; GroupNorm weight/bias pass through.
+    Conv kernels OIHW → HWIO; GroupNorm weight/bias pass through. Tolerant like the
+    reference's strict=False load: missing biases/norm affines degrade to identity
+    with a warning, extra keys are ignored with a warning; missing conv *weights*
+    (shape unrecoverable) raise one aggregate KeyError naming every absent tensor
+    instead of a bare KeyError on the first.
     """
     sd = SafetensorsFile(path)
+    report = LoadReport(f"ae checkpoint {path}")
+    fatal: list = []
 
     def conv(prefix):
-        w = np.asarray(sd.get(f"{prefix}.weight"))
-        out = {"kernel": jnp.asarray(w.transpose(2, 3, 1, 0), dtype)}
-        if f"{prefix}.bias" in sd:
-            out["bias"] = jnp.asarray(np.asarray(sd.get(f"{prefix}.bias")), dtype)
+        wk, bk = f"{prefix}.weight", f"{prefix}.bias"
+        if report.has(sd, wk):
+            w = np.asarray(sd.get(wk))
+            out = {"kernel": jnp.asarray(w.transpose(2, 3, 1, 0), dtype)}
+        else:
+            fatal.append(wk)
+            return {"kernel": None}
+        if report.has(sd, bk):
+            out["bias"] = jnp.asarray(np.asarray(sd.get(bk)), dtype)
+        else:
+            report.miss(bk)  # absent bias == zero bias; warn and continue
         return out
 
     def gn(prefix):
-        return {
-            "weight": jnp.asarray(np.asarray(sd.get(f"{prefix}.weight")), dtype),
-            "bias": jnp.asarray(np.asarray(sd.get(f"{prefix}.bias")), dtype),
-        }
+        wk, bk = f"{prefix}.weight", f"{prefix}.bias"
+        hw, hb = report.has(sd, wk), report.has(sd, bk)
+        if not hw and not hb:
+            fatal.extend([wk, bk])  # no tensor to infer the channel count from
+            return {"weight": None, "bias": None}
+        w = jnp.asarray(np.asarray(sd.get(wk)), dtype) if hw else None
+        b = jnp.asarray(np.asarray(sd.get(bk)), dtype) if hb else None
+        if w is None:
+            report.miss(wk)
+            w = jnp.ones_like(b)
+        if b is None:
+            report.miss(bk)
+            b = jnp.zeros_like(w)
+        return {"weight": w, "bias": b}
 
     def resnet(prefix, has_nin):
         p = {
@@ -323,6 +584,12 @@ def load_ae_checkpoint(path: str, cfg: AutoEncoderParams, dtype=jnp.bfloat16) ->
     dec["norm_out"] = gn("decoder.norm_out")
     dec["conv_out"] = conv("decoder.conv_out")
 
+    if fatal:
+        raise KeyError(
+            f"ae checkpoint {path}: missing tensors whose shapes cannot be inferred: "
+            f"{sorted(set(fatal))}"
+        )
+    report.finish(sd.keys(), strict=strict)
     return {"encoder": enc, "decoder": dec}
 
 

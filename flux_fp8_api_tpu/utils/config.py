@@ -117,6 +117,13 @@ class ModelSpec(BaseModel):
     offload_text_encoder: bool = False
     offload_vae: bool = False
     offload_flow: bool = False
+    # TPU extra: when offload_flow is set, stream the flow weights per-block with
+    # double-buffered host→HBM copies under the denoise loop (offload.py — the
+    # analog of the reference's incremental per-block moves,
+    # float8_quantize.py:427-446) instead of round-tripping the whole 12GB tree.
+    # False restores the whole-tree round trip (calibration and mesh serving
+    # always use it).
+    stream_flow_offload: bool = True
     prequantized_flow: bool = False
     # Improved precision via not quantizing the modulation linear layers
     quantize_modulation: bool = True

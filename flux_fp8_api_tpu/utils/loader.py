@@ -183,6 +183,14 @@ def load_autoencoder(config: ModelSpec):
                 f"ae_quantization_dtype={tier}: only qfloat8 is implemented for the "
                 "conv AE; applying weight-only fp8 instead"
             )
+        # config-compat deviation (PARITY.md): reference-shipped configs that set
+        # this flag (gigaquant/offload tiers) silently no-op there, so the same
+        # JSON produces slightly different pixels here — say so at load time
+        logger.info(
+            "quantizing AE conv kernels to weight-only fp8 (ae_quantization_dtype "
+            f"= {tier}; NOTE: the reference silently ignores this flag, "
+            "util.py:288-291 — pixels will differ slightly from it)"
+        )
         params = quantize_ae_params(params)
     return params
 

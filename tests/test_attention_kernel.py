@@ -273,3 +273,75 @@ class TestUnderflowRows:
         out = qknorm_attention(q, k, v, 1.0, block_q=128, block_kv=128, interpret=True)
         assert bool(jnp.all(jnp.isfinite(out))), "underflowed rows must not NaN"
         np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
+
+
+class TestBlockAutotuner:
+    """Warmup-time (block_q, block_kv) autotuning (VERDICT r2 item 3)."""
+
+    def _clear(self):
+        import flux_fp8_api_tpu.ops.attention as attn
+
+        attn._TUNED_BLOCKS.clear()
+        return attn
+
+    def test_candidates_divide_or_mask(self):
+        from flux_fp8_api_tpu.ops.attention import candidate_blocks
+
+        # the shipped Gradio presets the measured table does NOT pin
+        for l in (4464, 4544, 4608, 2816, 3000, 1024):
+            cands = candidate_blocks(l)
+            assert cands, l
+            for bq, bkv in cands:
+                assert bq % 8 == 0 and bkv % 8 == 0
+                assert (l % bq == 0 and l % bkv == 0) or (bq, bkv) == (512, 512), (l, bq, bkv)
+        # prime-ish lengths fall back to the masked pair
+        assert candidate_blocks(4099) == [(512, 512)]
+
+    def test_registered_blocks_take_effect_after_measured_table(self):
+        attn = self._clear()
+        try:
+            # unpinned length: heuristic → largest square divisor
+            assert attn._pick_blocks(4464) == (744, 744)
+            attn.register_tuned_blocks(4464, (744, 2232))
+            assert attn._pick_blocks(4464) == (744, 2232)
+            # the hand-measured table stays authoritative over tuned entries
+            attn.register_tuned_blocks(4608, (1152, 1152))
+            assert attn._pick_blocks(4608) == (768, 1536)
+        finally:
+            attn._TUNED_BLOCKS.clear()
+
+    def test_persistence_roundtrip(self, tmp_path):
+        attn = self._clear()
+        path = str(tmp_path / "attn_blocks.json")
+        try:
+            attn.register_tuned_blocks(4464, (744, 1488))
+            attn.register_tuned_blocks(4544, (1136, 2272))
+            attn.save_tuned_blocks(path)
+            attn._TUNED_BLOCKS.clear()
+            assert attn.load_tuned_blocks(path) == 2
+            assert attn._pick_blocks(4544) == (1136, 2272)
+            # corrupt file → ignored, 0 entries
+            with open(path, "w") as f:
+                f.write("{not json")
+            attn._TUNED_BLOCKS.clear()
+            assert attn.load_tuned_blocks(path) == 0
+            assert attn.load_tuned_blocks(str(tmp_path / "missing.json")) == 0
+        finally:
+            attn._TUNED_BLOCKS.clear()
+
+    def test_autotune_measures_and_registers(self):
+        attn = self._clear()
+        try:
+            timings = attn.autotune_blocks(
+                1024, folded_heads=2, head_dim=64, dtype=jnp.float32,
+                iters=2, interpret=True,
+            )
+            assert set(timings) == set(attn.candidate_blocks(1024))
+            assert all(t > 0 for t in timings.values())
+            assert attn._pick_blocks(1024) == min(timings, key=timings.get)
+            # already-tuned length: no re-measure
+            assert attn.autotune_blocks(1024, interpret=True) == {}
+            # measured-table length: never re-measured
+            assert attn.autotune_blocks(4608, interpret=True) == {}
+        finally:
+            attn._TUNED_BLOCKS.clear()

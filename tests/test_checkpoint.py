@@ -87,6 +87,55 @@ def _synthetic_bfl_checkpoint(path: str, seed=0):
     return sd
 
 
+class TestLayoutPermutations:
+    """The checkpoint→runtime relayout (rope deinterleave ∘ head-major regroup)."""
+
+    def test_qkv_out_permutation_is_flat_deinterleave(self):
+        """Load-time perm: per-head rope deinterleave on q/k, K-major order kept."""
+        from flux_fp8_api_tpu.ops.rope import deinterleave_permutation
+        from flux_fp8_api_tpu.utils.checkpoint import qkv_out_permutation
+
+        hs, hd, mh = 64, 16, 256
+        n = hs // hd
+        head_perm = deinterleave_permutation(hd)
+        perm = qkv_out_permutation(hs, hd, extra=mh)
+        assert sorted(perm) == list(range(3 * hs + mh))  # a permutation
+        sec = np.concatenate([h * hd + head_perm for h in range(n)])
+        np.testing.assert_array_equal(perm[:hs], sec)  # q deinterleaved
+        np.testing.assert_array_equal(perm[hs : 2 * hs], hs + sec)  # k deinterleaved
+        # v and the mlp tail untouched
+        np.testing.assert_array_equal(perm[2 * hs :], np.arange(2 * hs, 3 * hs + mh))
+
+    def test_grouped_qkv_permutation_structure(self):
+        """Shard-time perm: flat K-major → head-major [q_n | k_n | v_n | mlp_n]."""
+        from flux_fp8_api_tpu.utils.checkpoint import grouped_qkv_permutation
+
+        hs, hd, mh = 64, 16, 256
+        n, g = hs // hd, 256 // (hs // hd)
+        idx = np.arange(hd)
+        perm = grouped_qkv_permutation(hs, hd, extra=mh)
+        assert sorted(perm) == list(range(3 * hs + mh))
+        for h in range(n):
+            grp = perm[h * (3 * hd + g) : (h + 1) * (3 * hd + g)]
+            np.testing.assert_array_equal(grp[:hd], h * hd + idx)  # q_h
+            np.testing.assert_array_equal(grp[hd : 2 * hd], hs + h * hd + idx)  # k_h
+            np.testing.assert_array_equal(grp[2 * hd : 3 * hd], 2 * hs + h * hd + idx)  # v_h
+            # mlp tail of each head group: that head's contiguous mlp slice
+            np.testing.assert_array_equal(grp[3 * hd :], 3 * hs + h * g + np.arange(g))
+
+    def test_linear2_in_matches_linear1_out_grouping(self):
+        from flux_fp8_api_tpu.utils.checkpoint import linear2_in_permutation
+
+        hs, hd, mh = 64, 16, 256
+        n, g = hs // hd, 256 // (hs // hd)
+        perm = linear2_in_permutation(hs, hd, mh)
+        assert sorted(perm) == list(range(hs + mh))
+        for h in range(n):
+            grp = perm[h * (hd + g) : (h + 1) * (hd + g)]
+            np.testing.assert_array_equal(grp[:hd], h * hd + np.arange(hd))  # attn_h
+            np.testing.assert_array_equal(grp[hd:], hs + h * g + np.arange(g))  # mlp_h
+
+
 class TestFluxCheckpoint:
     def test_bfl_load_and_forward(self, tmp_path):
         path = str(tmp_path / "flux.safetensors")

@@ -212,6 +212,25 @@ class TestServingPrecompile:
         pipe.generate(prompt="a cat", width=96, height=96, num_steps=2, seed=1, silent=True)
         assert _denoise_scan._cache_size() > cached
 
+    def test_warmup_precompiles_interactive_path(self):
+        """warmup also compiles the per-step (non-silent/tqdm) jit for each bucket,
+        so the first interactive generate after "-C" pays no compile (VERDICT r2
+        item 8)."""
+        from flux_fp8_api_tpu.sampling import _denoise_step
+
+        pipe = make_pipeline(flow_dtype="float32")  # float: no calibration steps
+        pipe.warmup([(64, 64)], num_steps=2)
+        cached = _denoise_step._cache_size()
+        assert cached > 0
+        pipe.generate(prompt="a cat", width=64, height=64, num_steps=2, seed=1, silent=False)
+        assert _denoise_step._cache_size() == cached
+        # and the fused (silent) bucket was warmed too, as before
+        from flux_fp8_api_tpu.sampling import _denoise_scan
+
+        scans = _denoise_scan._cache_size()
+        pipe.generate(prompt="a cat", width=64, height=64, num_steps=2, seed=1, silent=True)
+        assert _denoise_scan._cache_size() == scans
+
     def test_bare_compile_only_calibrates(self):
         from flux_fp8_api_tpu.sampling import _denoise_scan
 
@@ -231,6 +250,55 @@ class TestOffload:
         out = pipe.generate(prompt="a cat", width=64, height=64, num_steps=1, seed=0, silent=True)
         assert decode_jpeg(out).shape == (64, 64, 3)
         # flow params returned to host after generate
+        leaf = pipe.model_params["img_in"].kernel
+        assert list(leaf.devices())[0].platform == "cpu"
+
+
+class TestStreamedOffload:
+    """Per-block double-buffered weight streaming (offload.py, VERDICT r2 item 5)."""
+
+    def test_streamed_generate_matches_resident(self):
+        kwargs = dict(prompt="a cat", width=64, height=64, num_steps=2, seed=3, silent=True)
+        # f32 flow so the only difference vs the fused scan is jit-boundary
+        # reassociation; no calibration (float kind) → streaming from generate #1
+        ref = decode_jpeg(make_pipeline(flow_dtype="float32").generate(**kwargs))
+        pipe = make_pipeline(flow_dtype="float32", offload_flow=True)
+        out = decode_jpeg(pipe.generate(**kwargs))
+        assert pipe._stream_state is not None  # streaming path actually ran
+        # weights never moved: the stacked tree stayed host-resident
+        leaf = pipe.model_params["double_blocks"]["img_attn_qkv"].kernel
+        assert list(leaf.devices())[0].platform == "cpu"
+        assert np.mean(np.abs(out.astype(np.int16) - ref.astype(np.int16))) < 0.5
+
+    def test_quantized_calibrates_whole_tree_then_streams(self):
+        pipe = make_pipeline(quant_kind="fp8", offload_flow=True, num_scale_trials=2)
+        kwargs = dict(prompt="a cat", width=64, height=64, num_steps=3, seed=0, silent=True)
+        pipe.generate(**kwargs)  # calibration: legacy whole-tree round trip
+        assert not pipe._needs_calibration
+        assert pipe._stream_state is None
+        pipe.generate(**kwargs)  # frozen: streams
+        assert pipe._stream_state is not None
+
+    def test_lora_invalidates_stream_state(self, tmp_path):
+        from flux_fp8_api_tpu.utils.safetensors_io import save_safetensors
+
+        from .test_lora import make_kohya_lora
+
+        pipe = make_pipeline(flow_dtype="float32", offload_flow=True)
+        kwargs = dict(prompt="x", width=64, height=64, num_steps=1, seed=1, silent=True)
+        pipe.generate(**kwargs)
+        assert pipe._stream_state is not None
+        path = str(tmp_path / "l.safetensors")
+        save_safetensors(path, make_kohya_lora())
+        pipe.load_lora(path, scale=1.0)
+        assert pipe._stream_state is None  # rebuilt (with the fused delta) next run
+        pipe.generate(**kwargs)
+        assert pipe._stream_state is not None
+
+    def test_stream_flow_offload_false_restores_round_trip(self):
+        pipe = make_pipeline(flow_dtype="float32", offload_flow=True, stream_flow_offload=False)
+        pipe.generate(prompt="x", width=64, height=64, num_steps=1, seed=1, silent=True)
+        assert pipe._stream_state is None
         leaf = pipe.model_params["img_in"].kernel
         assert list(leaf.devices())[0].platform == "cpu"
 
