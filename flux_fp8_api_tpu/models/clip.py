@@ -199,27 +199,33 @@ def load_clip_checkpoint(sd_get, cfg: CLIPConfig, dtype=jnp.bfloat16, report=Non
             "bias": jnp.asarray(fetch(f"{name}.bias", (cfg.hidden_size,)), dtype),
         }
 
+    h, inter = cfg.hidden_size, cfg.intermediate_size
     blocks = []
     for i in range(cfg.num_layers):
         p = f"text_model.encoder.layers.{i}."
         blocks.append(
             {
-                "q_proj": lin(p + "self_attn.q_proj"),
-                "k_proj": lin(p + "self_attn.k_proj"),
-                "v_proj": lin(p + "self_attn.v_proj"),
-                "out_proj": lin(p + "self_attn.out_proj"),
+                "q_proj": lin(p + "self_attn.q_proj", h, h),
+                "k_proj": lin(p + "self_attn.k_proj", h, h),
+                "v_proj": lin(p + "self_attn.v_proj", h, h),
+                "out_proj": lin(p + "self_attn.out_proj", h, h),
                 "layer_norm1": lnp(p + "layer_norm1"),
-                "fc1": lin(p + "mlp.fc1"),
-                "fc2": lin(p + "mlp.fc2"),
+                "fc1": lin(p + "mlp.fc1", inter, h),
+                "fc2": lin(p + "mlp.fc2", h, inter),
                 "layer_norm2": lnp(p + "layer_norm2"),
             }
         )
     return {
         "token_embedding": jnp.asarray(
-            np.asarray(sd_get("text_model.embeddings.token_embedding.weight")), dtype
+            fetch("text_model.embeddings.token_embedding.weight", (cfg.vocab_size, h)),
+            dtype,
         ),
         "position_embedding": jnp.asarray(
-            np.asarray(sd_get("text_model.embeddings.position_embedding.weight")), dtype
+            fetch(
+                "text_model.embeddings.position_embedding.weight",
+                (cfg.max_position_embeddings, h),
+            ),
+            dtype,
         ),
         "blocks": jax.tree.map(lambda *xs: jnp.stack(xs), *blocks),
         "final_layer_norm": lnp("text_model.final_layer_norm"),

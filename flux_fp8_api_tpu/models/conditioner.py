@@ -153,12 +153,19 @@ class TextEncoder:
             hf_cfg = {**hf_cfg, **hf_cfg["text_config"]}
         sd_get = _hf_state_dict_getter(model_dir)
         jdtype = into_dtype(dtype)
+        # tolerant (strict=False) load: missing tensors zero/identity-fill and
+        # extra keys are ignored, each with a warning naming the keys — the
+        # reference's print_load_warning surface (util.py:225-237)
+        from ..utils.checkpoint import LoadReport
+
+        report = LoadReport(f"{kind} checkpoint {model_path}")
         if kind == "clip":
             config = CLIPConfig.from_hf_config(hf_cfg)
-            params = load_clip_checkpoint(sd_get, config, jdtype)
+            params = load_clip_checkpoint(sd_get, config, jdtype, report=report)
         else:
             config = T5Config.from_hf_config(hf_cfg)
-            params = load_t5_checkpoint(sd_get, config, jdtype)
+            params = load_t5_checkpoint(sd_get, config, jdtype, report=report)
+        report.finish(sd_get.all_keys)
         params = apply_quantization(kind, params, quantization_dtype)
         tokenizer = AutoTokenizer.from_pretrained(tokenizer_path or model_path)
         return cls(

@@ -9,12 +9,20 @@ compute. This module is the TPU-native version of the reference's idea:
 - top-level params (embedders, final layer — a few MB) stay resident on device;
 - the depth-stacked double/single blocks live on the host, pre-split into
   per-block slices (~200MB each);
-- a host loop dispatches one jitted apply per block, always issuing the
-  ``device_put`` for block *i+1* (wrapping across steps) before the compute of
-  block *i* — JAX dispatch is asynchronous, so the host→HBM copy of the next
-  slice runs while the chip computes the current one. Peak HBM for flow weights
-  is two block slices instead of 12GB, and at PCIe-class link rates the
-  transfer time hides behind compute.
+- a host loop dispatches one jitted apply per block; during the FIRST denoise
+  step it issues the ``device_put`` for block *i+1* before dispatching block
+  *i*'s compute — JAX dispatch is asynchronous, so each host→HBM copy overlaps
+  the previous block's matmuls. Transferred slices are RETAINED on device, so
+  steps 2..N run fully resident (zero transfer), and every device reference is
+  dropped when the loop returns — the HBM is free for the text encoders / VAE
+  again without any device→host copy, because the host tree was never replaced.
+
+Versus the whole-tree round trip this (a) hides the 12GB host→HBM time behind
+step 1's compute instead of serializing it before the loop, and (b) eliminates
+the 12GB device→host return copy outright (weights don't change; re-pointing at
+the kept host tree is free). Re-streaming every step (true 2-slice peak) was
+considered and rejected: at PCIe-class rates a 12GB flow re-transfer costs
+~0.75s/step against ~0.32s of compute — strictly transfer-bound.
 
 The per-block jits (one for double blocks, one for singles) compile once each —
 every block shares shapes — so the structure costs depth-many dispatches per
@@ -122,7 +130,10 @@ def streamed_denoise(
     cfg: FluxStatic,
     progress: bool = False,
 ) -> jnp.ndarray:
-    """Run the full denoise loop with per-block double-buffered weight streaming.
+    """Run the full denoise loop with per-block weight streaming: step 1 overlaps
+    each block's host→HBM copy with the previous block's compute (double-buffered
+    prefetch), later steps run device-resident, and all device weight references
+    die with this frame — no return transfer.
 
     Matches :func:`..sampling._denoise_scan` numerically (same ops, different jit
     boundaries — float reassociation only; tests pin the closeness)."""
@@ -136,9 +147,6 @@ def streamed_denoise(
     n = len(slices)
     n_dbl = len(dbl_slices)
 
-    def put(i):
-        return jax.device_put(slices[i], device)
-
     steps = pairs
     if progress:
         try:
@@ -148,26 +156,27 @@ def streamed_denoise(
         except ImportError:
             pass
 
-    buf = put(0)
-    for step_idx, (t_curr, t_prev) in enumerate(steps):
+    # device-resident copies, filled by the prefetch chain during step 1 and
+    # dropped (freeing HBM) when this function returns
+    dev: List = [None] * n
+    dev[0] = jax.device_put(slices[0], device)
+    for t_curr, t_prev in steps:
         t_vec = jnp.full((b,), t_curr, jnp.float32)
         img_e, txt_e, vec_silu, cos, sin = fns["pre"](
             tops_dev, img, img_ids, txt, txt_ids, t_vec, y, g_vec
         )
         x = None
-        last_step = step_idx == len(pairs) - 1
         for j in range(n):
-            cur = buf
-            # prefetch the next slice (wrapping into the next step) BEFORE
-            # dispatching this block's compute commits the host thread — both
-            # dispatches are async, so the copy overlaps the matmuls
-            if not (last_step and j == n - 1):
-                buf = put((j + 1) % n)
+            # prefetch the next slice BEFORE dispatching this block's compute —
+            # both are async, so the copy overlaps the matmuls (step 1 only;
+            # afterwards everything is already resident)
+            if j + 1 < n and dev[j + 1] is None:
+                dev[j + 1] = jax.device_put(slices[j + 1], device)
             if j < n_dbl:
-                img_e, txt_e = fns["double"](cur, img_e, txt_e, vec_silu, cos, sin)
+                img_e, txt_e = fns["double"](dev[j], img_e, txt_e, vec_silu, cos, sin)
                 if j == n_dbl - 1:
                     x = jnp.concatenate([txt_e, img_e], axis=1)
             else:
-                x = fns["single"](cur, x, vec_silu, cos, sin)
+                x = fns["single"](dev[j], x, vec_silu, cos, sin)
         img = fns["final"](tops_dev, x, vec_silu, img, t_curr, t_prev)
     return img

@@ -1,0 +1,563 @@
+"""Cross-validation against the reference implementation running on CPU torch.
+
+Round-2 verdict: real-weight validation is impossible in this image (no
+checkpoints, zero egress), so the loaders were only key-mapping-tested against
+synthetic files. This suite is the next-best thing: run the *reference's own
+modules* (flux_model.py, autoencoder.py, flux_pipeline.py schedule math,
+flux_emphasis.py) and the HF towers the reference wraps (T5EncoderModel,
+CLIPTextModel) on tiny synthetic weights, and pin our JAX reimplementation to
+their outputs. One state dict, two frameworks, same numbers.
+
+What this locks down that unit tests can't:
+- the BFL key map AND the interleaved→half-split rope permutation applied at
+  load (utils/checkpoint.py) — any mapping slip shows up as a large diff;
+- norm/activation choices (fp32 RMSNorm, quick_gelu, gated gelu_new, GN32);
+- CLIP's EOS pooling and T5's no-attention-mask convention;
+- the sigma-shifted schedule (flux_pipeline.py:314-344) float-for-float;
+- the A1111 emphasis grammar against the reference parser.
+
+The reference tree is imported read-only with three shims (loguru/pydash/
+pybase64/torchvision stubs + a torch.version.cuda patch to pass its
+CUDA-version import guard on CPU torch); skipped wholesale if /root/reference
+is absent.
+"""
+
+import base64
+import sys
+import types
+from pathlib import Path
+from types import SimpleNamespace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from .helpers import TINY_AE_PARAMS, TINY_FLUX_PARAMS
+
+REF = Path("/root/reference")
+
+pytestmark = pytest.mark.skipif(not REF.exists(), reason="reference checkout not present")
+
+
+def _stub_module(name: str, **attrs) -> None:
+    if name in sys.modules:
+        return
+    import importlib.machinery
+
+    mod = types.ModuleType(name)
+    # a real ModuleSpec so importlib.util.find_spec (e.g. transformers' optional-
+    # dependency probe) sees a well-formed module instead of raising ValueError
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    sys.modules[name] = mod
+
+
+def _flatten(lst):
+    out = []
+    for x in lst:
+        out.extend(x) if isinstance(x, (list, tuple)) else out.append(x)
+    return out
+
+
+@pytest.fixture(scope="module")
+def ref():
+    """The reference modules, imported once with the minimal CPU shims."""
+    torch = pytest.importorskip("torch")
+
+    class _Logger:
+        def __getattr__(self, _):
+            return lambda *a, **k: None
+
+    _stub_module("loguru", logger=_Logger())
+    _stub_module("pydash", flatten=_flatten)
+    _stub_module("pybase64", standard_b64decode=base64.standard_b64decode)
+    # torchvision is only used for resize/crop helpers the tests never reach
+    _stub_module("torchvision")
+    _stub_module("torchvision.transforms", functional=None)
+    sys.modules["torchvision"].transforms = sys.modules["torchvision.transforms"]
+    if not torch.version.cuda:
+        torch.version.cuda = "12.6"  # pass float8_quantize.py:19-23's import guard
+    sys.path.insert(0, str(REF))
+    try:
+        import modules.autoencoder as ref_ae
+        import modules.flux_model as ref_flux
+
+        import float8_quantize as ref_f8
+        import flux_emphasis as ref_emphasis
+        import flux_pipeline as ref_pipeline
+        import lora_loading as ref_lora
+    finally:
+        sys.path.remove(str(REF))
+    return SimpleNamespace(
+        torch=torch,
+        flux=ref_flux,
+        ae=ref_ae,
+        emphasis=ref_emphasis,
+        pipeline=ref_pipeline,
+        lora=ref_lora,
+        f8=ref_f8,
+    )
+
+
+def _save_torch_sd(path, sd):
+    from flux_fp8_api_tpu.utils.safetensors_io import save_safetensors
+
+    save_safetensors(str(path), {k: v.detach().cpu().numpy() for k, v in sd.items()})
+
+
+# --------------------------------------------------------------------------- Flux DiT
+
+
+class TestFluxForwardParity:
+    def _ref_model(self, ref, seed=0):
+        p = ref.flux.FluxParams(**TINY_FLUX_PARAMS.model_dump())
+        cfg = SimpleNamespace(
+            params=p,
+            prequantized_flow=False,
+            quantize_flow_embedder_layers=False,
+            quantize_modulation=True,
+        )
+        ref.torch.manual_seed(seed)
+        model = ref.flux.Flux(cfg, dtype=ref.torch.float32)
+        model.eval()
+        return model
+
+    def test_full_forward_matches_reference(self, ref, tmp_path):
+        """Same BFL-format state dict → reference torch forward == our JAX forward.
+
+        Exercises the whole stack: key map, rope deinterleave permutation, fused
+        qkv split order, fp32 RMSNorm, modulation chunking, final adaLN."""
+        from flux_fp8_api_tpu.models.flux import FluxStatic, flux_apply
+        from flux_fp8_api_tpu.utils.checkpoint import load_flux_checkpoint
+
+        torch = ref.torch
+        model = self._ref_model(ref)
+        path = tmp_path / "flux.safetensors"
+        _save_torch_sd(path, model.state_dict())
+
+        cfg = FluxStatic.from_params(
+            TINY_FLUX_PARAMS, compute_dtype="float32", use_pallas=False
+        )
+        params = load_flux_checkpoint(str(path), cfg, dtype=jnp.float32, strict=True)
+
+        rng = np.random.RandomState(0)
+        b, h_lat, w_lat, txt_len = 1, 4, 6, 8
+        l_img = h_lat * w_lat
+        img = rng.randn(b, l_img, TINY_FLUX_PARAMS.in_channels).astype(np.float32)
+        txt = rng.randn(b, txt_len, TINY_FLUX_PARAMS.context_in_dim).astype(np.float32)
+        # real position ids (pipeline.prepare layout) so rope actually rotates
+        img_ids = np.zeros((b, l_img, 3), np.float32)
+        img_ids[..., 1] = np.repeat(np.arange(h_lat), w_lat)
+        img_ids[..., 2] = np.tile(np.arange(w_lat), h_lat)
+        txt_ids = np.zeros((b, txt_len, 3), np.float32)
+        y = rng.randn(b, TINY_FLUX_PARAMS.vec_in_dim).astype(np.float32)
+        t = np.array([0.7], np.float32)
+        g = np.array([3.5], np.float32)
+
+        with torch.no_grad():
+            theirs = model(
+                torch.from_numpy(img),
+                torch.from_numpy(img_ids),
+                torch.from_numpy(txt),
+                torch.from_numpy(txt_ids),
+                torch.from_numpy(t),
+                torch.from_numpy(y),
+                torch.from_numpy(g),
+            ).numpy()
+
+        ours = np.asarray(
+            flux_apply(
+                params,
+                cfg,
+                jnp.asarray(img),
+                jnp.asarray(img_ids),
+                jnp.asarray(txt),
+                jnp.asarray(txt_ids),
+                jnp.asarray(t),
+                jnp.asarray(y),
+                jnp.asarray(g),
+            ),
+            np.float32,
+        )
+        assert theirs.shape == ours.shape
+        scale = np.abs(theirs).mean()
+        assert scale > 1e-3  # the comparison is non-degenerate
+        np.testing.assert_allclose(ours, theirs, atol=2e-4 * max(scale, 1.0), rtol=2e-3)
+
+    def test_timestep_embedding_matches(self, ref):
+        from flux_fp8_api_tpu.models.flux import timestep_embedding
+
+        torch = ref.torch
+        t = np.array([0.0, 0.25, 0.999, 1.0], np.float32)
+        theirs = ref.flux.timestep_embedding(torch.from_numpy(t), 256).numpy()
+        ours = np.asarray(timestep_embedding(jnp.asarray(t), 256), np.float32)
+        # cos/sin evaluate through different transcendental libraries (libm vs
+        # XLA's vectorized approximation) — observed max diff 2.8e-5 at fp32
+        np.testing.assert_allclose(ours, theirs, atol=1e-4, rtol=1e-4)
+
+
+# ----------------------------------------------------- reference prequant format
+
+
+class TestReferencePrequantParity:
+    """Load a checkpoint the REFERENCE code itself prequantized (recursive_swap_
+    linears → F8Linear.quantize_weight → state_dict), not one our writer
+    synthesized — the real-world artifact a reference user would bring over."""
+
+    def test_reference_prequantized_checkpoint_loads_bit_exact(self, ref, tmp_path):
+        from safetensors.torch import save_file
+
+        from flux_fp8_api_tpu.models.flux import FluxStatic, flux_apply
+        from flux_fp8_api_tpu.utils.checkpoint import (
+            is_prequantized_reference_file,
+            load_flux_checkpoint,
+        )
+
+        torch = ref.torch
+        model = TestFluxForwardParity()._ref_model(ref, seed=9)
+        # the reference's export path: swap every linear except final_layer and the
+        # embedders (quantize_flow_transformer_and_dispatch_float8 defaults,
+        # float8_quantize.py:447-476), then serialize
+        ref.f8.recursive_swap_linears(
+            model,
+            quantize_modulation=True,
+            ignore_keys=[
+                "final_layer", "img_in", "txt_in", "time_in", "vector_in", "guidance_in",
+            ],
+        )
+        sd = model.state_dict()
+        assert any(k.endswith(".float8_data") for k in sd)
+        path = tmp_path / "flux_prequant.safetensors"
+        save_file(sd, str(path))
+
+        assert is_prequantized_reference_file(str(path))
+        cfg = FluxStatic.from_params(
+            TINY_FLUX_PARAMS, compute_dtype="float32", use_pallas=False
+        )
+        params = load_flux_checkpoint(str(path), cfg, dtype=jnp.float32)
+
+        # bit-exact import of the reference's e4m3 payload + scale
+        # (ours is (in, out) and depth-stacked; theirs (out, in) per block)
+        mlp = params["double_blocks"]["img_mlp_0"]
+        assert mlp.kind in ("fp8", "int8")
+        if mlp.kind == "fp8":
+            np.testing.assert_array_equal(
+                np.asarray(mlp.q[0], np.float32).transpose(1, 0),
+                sd["double_blocks.0.img_mlp.0.float8_data"].float().numpy(),
+            )
+            ws = mlp.w_scale[0] if np.ndim(mlp.w_scale) else mlp.w_scale
+            assert abs(float(ws) - float(sd["double_blocks.0.img_mlp.0.scale"])) < 1e-6
+        # qkv rows carry the load-time interleaved→half-split rope permutation
+        # (PARITY.md "Rope channel layout"): bit-exact after applying it
+        from flux_fp8_api_tpu.utils.checkpoint import qkv_out_permutation
+
+        qkv = params["double_blocks"]["img_attn_qkv"]
+        ref_q = sd["double_blocks.0.img_attn.qkv.float8_data"].float().numpy()
+        perm = qkv_out_permutation(cfg.hidden_size, cfg.head_dim)
+        if qkv.kind == "fp8":
+            np.testing.assert_array_equal(
+                np.asarray(qkv.q[0], np.float32).transpose(1, 0), ref_q[perm]
+            )
+        # embedders and final layer stayed float
+        assert params["img_in"].kind == "float"
+        assert params["final_layer"]["linear"].kind == "float"
+        # and the loaded tree runs
+        from .helpers import tiny_inputs
+
+        out = flux_apply(params, cfg, **tiny_inputs())
+        assert bool(jnp.all(jnp.isfinite(out.astype(jnp.float32))))
+
+
+# ------------------------------------------------------------------------------- VAE
+
+
+class TestAutoencoderParity:
+    def _ref_ae(self, ref, seed=1):
+        p = ref.ae.AutoEncoderParams(**TINY_AE_PARAMS.model_dump())
+        ref.torch.manual_seed(seed)
+        return ref.ae.AutoEncoder(p).float().eval()
+
+    def test_decode_matches_reference(self, ref, tmp_path):
+        from flux_fp8_api_tpu.models.autoencoder import ae_decode
+        from flux_fp8_api_tpu.utils.checkpoint import load_ae_checkpoint
+
+        torch = ref.torch
+        ae = self._ref_ae(ref)
+        path = tmp_path / "ae.sft"
+        _save_torch_sd(path, ae.state_dict())
+        params = load_ae_checkpoint(str(path), TINY_AE_PARAMS, dtype=jnp.float32)
+
+        rng = np.random.RandomState(2)
+        z = rng.randn(1, TINY_AE_PARAMS.z_channels, 8, 8).astype(np.float32)
+        with torch.no_grad():
+            theirs = ae.decode(torch.from_numpy(z)).numpy()  # NCHW
+        ours = np.asarray(
+            ae_decode(params, TINY_AE_PARAMS, jnp.asarray(z.transpose(0, 2, 3, 1))),
+            np.float32,
+        ).transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(ours, theirs, atol=5e-4, rtol=5e-3)
+
+    def test_encode_mean_matches_reference(self, ref, tmp_path):
+        """Deterministic moments path (sampling RNG differs by design: threefry vs
+        CUDA RNG, documented in PARITY.md) — compare mean → scale/shift output."""
+        from flux_fp8_api_tpu.models.autoencoder import ae_encode
+        from flux_fp8_api_tpu.utils.checkpoint import load_ae_checkpoint
+
+        torch = ref.torch
+        ae = self._ref_ae(ref)
+        path = tmp_path / "ae.sft"
+        _save_torch_sd(path, ae.state_dict())
+        params = load_ae_checkpoint(str(path), TINY_AE_PARAMS, dtype=jnp.float32)
+
+        rng = np.random.RandomState(3)
+        x = rng.uniform(-1, 1, (1, 3, 64, 64)).astype(np.float32)
+        with torch.no_grad():
+            moments = ae.encoder(torch.from_numpy(x))
+            mean = moments.chunk(2, dim=1)[0]
+            theirs = (
+                TINY_AE_PARAMS.scale_factor * (mean - TINY_AE_PARAMS.shift_factor)
+            ).numpy()
+        ours = np.asarray(
+            ae_encode(params, TINY_AE_PARAMS, jnp.asarray(x.transpose(0, 2, 3, 1)), key=None),
+            np.float32,
+        ).transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(ours, theirs, atol=5e-4, rtol=5e-3)
+
+
+# ----------------------------------------------------------------- HF text towers
+
+
+class TestHFTowerParity:
+    """The reference conditions through HF's T5EncoderModel/CLIPTextModel
+    (conditioner.py:38-94). Pin our native towers to the HF modules themselves."""
+
+    def test_t5_matches_hf(self):
+        transformers = pytest.importorskip("transformers")
+        import torch
+
+        from flux_fp8_api_tpu.models.t5 import T5Config, load_t5_checkpoint, t5_encode
+
+        hf_cfg = transformers.T5Config(
+            vocab_size=96,
+            d_model=48,
+            d_ff=96,
+            num_layers=2,
+            num_heads=3,
+            d_kv=16,
+            feed_forward_proj="gated-gelu",
+            dropout_rate=0.0,
+        )
+        torch.manual_seed(4)
+        model = transformers.T5EncoderModel(hf_cfg).eval()
+        sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+        cfg = T5Config.from_hf_config(hf_cfg.to_dict())
+        params = load_t5_checkpoint(sd.__getitem__, cfg, dtype=jnp.float32)
+
+        ids = np.array([[5, 17, 80, 3, 1, 0, 0, 0]], np.int64)
+        with torch.no_grad():
+            theirs = model(
+                input_ids=torch.from_numpy(ids),
+                attention_mask=torch.ones_like(torch.from_numpy(ids)),
+            ).last_hidden_state.numpy()
+        ours = np.asarray(
+            t5_encode(params, cfg, jnp.asarray(ids), dtype=jnp.float32), np.float32
+        )
+        np.testing.assert_allclose(ours, theirs, atol=2e-4, rtol=2e-3)
+
+    def test_clip_matches_hf(self):
+        transformers = pytest.importorskip("transformers")
+        import torch
+
+        from flux_fp8_api_tpu.models.clip import (
+            CLIPConfig,
+            clip_encode,
+            load_clip_checkpoint,
+        )
+
+        # eos_token_id=63 (not 2) so HF takes its exact-match pooling branch —
+        # the openai legacy-config argmax quirk is covered by our own unit tests
+        hf_cfg = transformers.CLIPTextConfig(
+            vocab_size=64,
+            hidden_size=32,
+            intermediate_size=64,
+            num_hidden_layers=2,
+            num_attention_heads=2,
+            max_position_embeddings=77,
+            eos_token_id=63,
+            bos_token_id=62,
+        )
+        torch.manual_seed(5)
+        model = transformers.CLIPTextModel(hf_cfg).eval()
+        sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+        cfg = CLIPConfig.from_hf_config(hf_cfg.to_dict())
+        params = load_clip_checkpoint(sd.__getitem__, cfg, dtype=jnp.float32)
+
+        ids = np.array([[62, 9, 30, 63, 0, 0]], np.int64)
+        with torch.no_grad():
+            out = model(input_ids=torch.from_numpy(ids))
+            hf_hidden = out.last_hidden_state.numpy()
+            hf_pooled = out.pooler_output.numpy()
+        hidden, pooled = clip_encode(params, cfg, jnp.asarray(ids), dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(hidden), hf_hidden, atol=2e-4, rtol=2e-3)
+        np.testing.assert_allclose(np.asarray(pooled), hf_pooled, atol=2e-4, rtol=2e-3)
+
+
+# --------------------------------------------------------------------- schedule math
+
+
+class TestScheduleParity:
+    def _ref_schedule(self, ref, num_steps, seq_len, shift=True):
+        FP = ref.pipeline.FluxPipeline
+        host = SimpleNamespace(
+            get_lin_function=lambda **kw: FP.get_lin_function(None, **kw),
+            time_shift=lambda mu, sigma, t: FP.time_shift(None, mu, sigma, t),
+        )
+        return FP.get_schedule(host, num_steps, seq_len, shift=shift)
+
+    @pytest.mark.parametrize("num_steps,seq_len", [(28, 4096), (4, 1024), (50, 256)])
+    def test_shifted_schedule_matches(self, ref, num_steps, seq_len):
+        from flux_fp8_api_tpu.ops.schedule import get_schedule
+
+        theirs = self._ref_schedule(ref, num_steps, seq_len, shift=True)
+        ours = get_schedule(num_steps, seq_len, shift=True)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(theirs), atol=1e-6)
+
+    def test_unshifted_schedule_matches(self, ref):
+        from flux_fp8_api_tpu.ops.schedule import get_schedule
+
+        theirs = self._ref_schedule(ref, 4, 4096, shift=False)
+        ours = get_schedule(4, 4096, shift=False)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(theirs), atol=1e-6)
+
+
+# ----------------------------------------------------------------- LoRA conversion
+
+
+class TestLoraConverterParity:
+    """Our diffusers→BFL converter (lora.py:85) against the reference's
+    (lora_loading.py:62-432) on a complete synthetic LoRA: same key space, same
+    concatenation order for the fused qkv/linear1 factors, same values.
+    (Deliberate deviation — heterogeneous zero-fill for partial single-block
+    LoRAs, where the reference crashes — is covered in tests/test_lora.py.)"""
+
+    RANK, HID, CTX = 4, 48, 48
+
+    def _diffusers_lora(self, torch, n_dbl=2, n_sgl=2):
+        g = torch.Generator().manual_seed(7)
+        sd = {}
+
+        def pair(name, out_dim, in_dim):
+            sd[f"transformer.{name}.lora_A.weight"] = torch.randn(
+                self.RANK, in_dim, generator=g
+            )
+            sd[f"transformer.{name}.lora_B.weight"] = torch.randn(
+                out_dim, self.RANK, generator=g
+            )
+
+        h = self.HID
+        pair("time_text_embed.timestep_embedder.linear_1", h, 256)
+        pair("time_text_embed.timestep_embedder.linear_2", h, h)
+        pair("time_text_embed.text_embedder.linear_1", h, 32)
+        pair("time_text_embed.text_embedder.linear_2", h, h)
+        pair("time_text_embed.guidance_embedder.linear_1", h, 256)
+        pair("time_text_embed.guidance_embedder.linear_2", h, h)
+        pair("context_embedder", h, self.CTX)
+        pair("x_embedder", h, 16)
+        for i in range(n_dbl):
+            bp = f"transformer_blocks.{i}"
+            pair(f"{bp}.norm1.linear", 6 * h, h)
+            pair(f"{bp}.norm1_context.linear", 6 * h, h)
+            for m in ("to_q", "to_k", "to_v", "add_q_proj", "add_k_proj", "add_v_proj"):
+                pair(f"{bp}.attn.{m}", h, h)
+            pair(f"{bp}.attn.to_out.0", h, h)
+            pair(f"{bp}.attn.to_add_out", h, h)
+            pair(f"{bp}.ff.net.0.proj", 4 * h, h)
+            pair(f"{bp}.ff.net.2", h, 4 * h)
+            pair(f"{bp}.ff_context.net.0.proj", 4 * h, h)
+            pair(f"{bp}.ff_context.net.2", h, 4 * h)
+        for i in range(n_sgl):
+            bp = f"single_transformer_blocks.{i}"
+            pair(f"{bp}.norm.linear", 3 * h, h)
+            for m in ("attn.to_q", "attn.to_k", "attn.to_v"):
+                pair(f"{bp}.{m}", h, h)
+            pair(f"{bp}.proj_mlp", 4 * h, h)
+            pair(f"{bp}.proj_out", h, 5 * h)
+        pair("proj_out", 64, h)
+        pair("norm_out.linear", 2 * h, h)
+        return sd
+
+    def test_diffusers_conversion_matches_reference(self, ref):
+        from flux_fp8_api_tpu.lora import convert_diffusers_to_bfl
+
+        torch = ref.torch
+        sd = self._diffusers_lora(torch)
+        theirs = ref.lora.convert_diffusers_to_flux_transformer_checkpoint(
+            {k: v.clone() for k, v in sd.items()},
+            num_layers=2,
+            num_single_layers=2,
+            has_guidance=True,
+            prefix="transformer.",
+        )
+        ours = convert_diffusers_to_bfl(
+            {k: v.numpy() for k, v in sd.items()},
+            num_layers=2,
+            num_single_layers=2,
+            has_guidance=True,
+        )
+        # DEVIATION (documented in PARITY.md): the reference's converter has no
+        # mapping for time_text_embed.timestep_embedder.linear_2 → time_in.out_layer
+        # (lora_loading.py:72-77 maps only linear_1), so a LoRA touching that layer
+        # silently loses those factors. We convert it.
+        extra_ours = set(ours) - set(theirs)
+        assert extra_ours == {
+            "time_in.out_layer.lora_A.weight",
+            "time_in.out_layer.lora_B.weight",
+        }
+        assert set(theirs) - set(ours) == set()
+        for k in theirs:
+            np.testing.assert_array_equal(
+                np.asarray(ours[k]), theirs[k].numpy(), err_msg=k
+            )
+
+
+# ------------------------------------------------------------------ emphasis grammar
+
+
+class TestEmphasisParity:
+    CORPUS = [
+        "a photo of a cat",
+        "(masterpiece) best quality, (detailed:1.3) [blurry]",
+        "((nested (emphasis:1.2)) and [de [emphasis]])",
+        "escaped \\(parens\\) and \\[brackets\\]",
+        "weight chains (a:1.5) (b:0.5) plain",
+        "BREAK across BREAK segments",
+        "trailing open (paren",
+        "unicode émphasis (über:1.1)",
+        "",
+        "   ",
+        "(a(b(c:2.0)))",
+        "[[deep]]",
+    ]
+
+    def test_parser_matches_reference(self, ref):
+        from flux_fp8_api_tpu import emphasis
+
+        for text in self.CORPUS:
+            theirs = ref.emphasis.parse_prompt_attention(text)
+            ours = emphasis.parse_prompt_attention(text)
+            assert len(ours) == len(theirs), (text, ours, theirs)
+            for (to, wo), (tt, wt) in zip(ours, theirs):
+                assert to == tt, (text, ours, theirs)
+                assert abs(float(wo) - float(wt)) < 1e-9, (text, ours, theirs)
+
+    def test_known_reference_crash_is_our_deviation(self, ref):
+        """'(x:.)' crashes the reference parser (float('.')); ours degrades to
+        weight 1.0 — the deviation is deliberate and documented in PARITY.md."""
+        from flux_fp8_api_tpu import emphasis
+
+        with pytest.raises(ValueError):
+            ref.emphasis.parse_prompt_attention("(x:.)")
+        segs = emphasis.parse_prompt_attention("(x:.)")
+        assert all(np.isfinite(w) for _, w in segs)

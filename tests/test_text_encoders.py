@@ -319,3 +319,168 @@ class TestEmphasisFuzz:
         for s in ["(x:.)", "(x:)", "(x:-)", "(x:+.5)", "(x:-.5)", "(:1.2)", "(x:1e3)"]:
             segs = emphasis.parse_prompt_attention(s)
             assert all(np.isfinite(w) for _, w in segs), (s, segs)
+
+
+class TestCheckpointLoaders:
+    """HF-format state-dict loading for the native towers, incl. the tolerant
+    (strict=False) surface and the sharded-directory getter."""
+
+    def _t5_cfg(self):
+        from flux_fp8_api_tpu.models.t5 import T5Config
+
+        return T5Config(vocab_size=64, d_model=96, d_ff=96, num_layers=2, num_heads=3, d_kv=16)
+
+    def _clip_cfg(self):
+        from flux_fp8_api_tpu.models.clip import CLIPConfig
+
+        return CLIPConfig(
+            vocab_size=64, hidden_size=64, intermediate_size=64, num_layers=2,
+            num_heads=2, max_position_embeddings=77, eos_token_id=2,
+        )
+
+    def _t5_sd(self, cfg, rng):
+        inner = cfg.num_heads * cfg.d_kv
+        d, ff = cfg.d_model, cfg.d_ff
+        sd = {
+            "shared.weight": rng.randn(cfg.vocab_size, d).astype(np.float32),
+            "encoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight":
+                rng.randn(cfg.relative_attention_num_buckets, cfg.num_heads).astype(np.float32),
+            "encoder.final_layer_norm.weight": np.ones(d, np.float32),
+        }
+        for i in range(cfg.num_layers):
+            p = f"encoder.block.{i}."
+            for n, (o, f) in {
+                "layer.0.SelfAttention.q": (inner, d), "layer.0.SelfAttention.k": (inner, d),
+                "layer.0.SelfAttention.v": (inner, d), "layer.0.SelfAttention.o": (d, inner),
+                "layer.1.DenseReluDense.wi_0": (ff, d), "layer.1.DenseReluDense.wi_1": (ff, d),
+                "layer.1.DenseReluDense.wo": (d, ff),
+            }.items():
+                sd[p + n + ".weight"] = rng.randn(o, f).astype(np.float32) * 0.02
+            sd[p + "layer.0.layer_norm.weight"] = np.ones(d, np.float32)
+            sd[p + "layer.1.layer_norm.weight"] = np.ones(d, np.float32)
+        return sd
+
+    def _clip_sd(self, cfg, rng):
+        h, inter = cfg.hidden_size, cfg.intermediate_size
+        sd = {
+            "text_model.embeddings.token_embedding.weight":
+                rng.randn(cfg.vocab_size, h).astype(np.float32),
+            "text_model.embeddings.position_embedding.weight":
+                rng.randn(cfg.max_position_embeddings, h).astype(np.float32),
+            "text_model.final_layer_norm.weight": np.ones(h, np.float32),
+            "text_model.final_layer_norm.bias": np.zeros(h, np.float32),
+        }
+        for i in range(cfg.num_layers):
+            p = f"text_model.encoder.layers.{i}."
+            for n, (o, f) in {
+                "self_attn.q_proj": (h, h), "self_attn.k_proj": (h, h),
+                "self_attn.v_proj": (h, h), "self_attn.out_proj": (h, h),
+                "mlp.fc1": (inter, h), "mlp.fc2": (h, inter),
+            }.items():
+                sd[p + n + ".weight"] = rng.randn(o, f).astype(np.float32) * 0.02
+                sd[p + n + ".bias"] = np.zeros(o, np.float32)
+            for n in ("layer_norm1", "layer_norm2"):
+                sd[p + n + ".weight"] = np.ones(h, np.float32)
+                sd[p + n + ".bias"] = np.zeros(h, np.float32)
+        return sd
+
+    def test_t5_load_and_encode(self):
+        from flux_fp8_api_tpu.models.t5 import load_t5_checkpoint, t5_encode
+
+        cfg = self._t5_cfg()
+        sd = self._t5_sd(cfg, np.random.RandomState(0))
+        params = load_t5_checkpoint(sd.__getitem__, cfg)
+        np.testing.assert_allclose(
+            np.asarray(params["blocks"]["q"].kernel[0], np.float32),
+            sd["encoder.block.0.layer.0.SelfAttention.q.weight"].T, rtol=1e-2,
+        )
+        ids = jnp.asarray([[1, 2, 3, 0]])
+        out = t5_encode(params, cfg, ids)
+        assert out.shape == (1, 4, cfg.d_model)
+        assert bool(jnp.all(jnp.isfinite(out.astype(jnp.float32))))
+
+    def test_t5_tolerant_fills_and_reports(self):
+        from flux_fp8_api_tpu.models.t5 import load_t5_checkpoint
+        from flux_fp8_api_tpu.utils.checkpoint import LoadReport
+
+        cfg = self._t5_cfg()
+        sd = self._t5_sd(cfg, np.random.RandomState(0))
+        del sd["encoder.block.1.layer.0.layer_norm.weight"]
+        del sd["encoder.block.0.layer.1.DenseReluDense.wo.weight"]
+        sd["decoder.block.0.junk"] = np.zeros(2, np.float32)
+        report = LoadReport("t5 test")
+        params = load_t5_checkpoint(sd.__getitem__, cfg, report=report)
+        report.finish(sd.keys())
+        assert np.allclose(np.asarray(params["blocks"]["ln1"][1]), 1)  # identity fill
+        assert np.allclose(np.asarray(params["blocks"]["wo"].kernel[0]), 0)  # zero fill
+        assert report.missing == [
+            "encoder.block.1.layer.0.layer_norm.weight",
+            "encoder.block.0.layer.1.DenseReluDense.wo.weight",
+        ] or set(report.missing) == {
+            "encoder.block.1.layer.0.layer_norm.weight",
+            "encoder.block.0.layer.1.DenseReluDense.wo.weight",
+        }
+        assert report.unexpected == ["decoder.block.0.junk"]
+        # without a report the same load raises
+        try:
+            load_t5_checkpoint(sd.__getitem__, cfg)
+            raised = False
+        except KeyError:
+            raised = True
+        assert raised
+
+    def test_clip_load_encode_and_tolerant(self):
+        from flux_fp8_api_tpu.models.clip import clip_encode, load_clip_checkpoint
+        from flux_fp8_api_tpu.utils.checkpoint import LoadReport
+
+        cfg = self._clip_cfg()
+        sd = self._clip_sd(cfg, np.random.RandomState(1))
+        params = load_clip_checkpoint(sd.__getitem__, cfg)
+        ids = jnp.asarray([[1, 5, 2, 0]])
+        hidden, pooled = clip_encode(params, cfg, ids)
+        assert hidden.shape == (1, 4, cfg.hidden_size)
+        assert pooled.shape == (1, cfg.hidden_size)
+        # tolerant: a dropped bias zero-fills, extra key reported
+        del sd["text_model.encoder.layers.0.self_attn.q_proj.bias"]
+        sd["logit_scale"] = np.float32(1.0)
+        report = LoadReport("clip test")
+        params = load_clip_checkpoint(sd.__getitem__, cfg, report=report)
+        report.finish(sd.keys())
+        assert np.allclose(np.asarray(params["blocks"]["q_proj"].bias[0]), 0)
+        assert report.missing == ["text_model.encoder.layers.0.self_attn.q_proj.bias"]
+        assert report.unexpected == ["logit_scale"]
+
+    def test_hf_sharded_dir_getter(self, tmp_path):
+        from flux_fp8_api_tpu.models.conditioner import _hf_state_dict_getter
+        from flux_fp8_api_tpu.utils.safetensors_io import save_safetensors
+
+        sd = self._t5_sd(self._t5_cfg(), np.random.RandomState(2))
+        keys = sorted(sd)
+        half = len(keys) // 2
+        shard_map = {}
+        for fname, ks in (
+            ("model-00001-of-00002.safetensors", keys[:half]),
+            ("model-00002-of-00002.safetensors", keys[half:]),
+        ):
+            save_safetensors(str(tmp_path / fname), {k: sd[k] for k in ks})
+            shard_map.update({k: fname for k in ks})
+        import json as _json
+
+        (tmp_path / "model.safetensors.index.json").write_text(
+            _json.dumps({"weight_map": shard_map})
+        )
+        get = _hf_state_dict_getter(tmp_path)
+        assert get.all_keys == set(keys)
+        np.testing.assert_array_equal(get(keys[0]), sd[keys[0]])
+        np.testing.assert_array_equal(get(keys[-1]), sd[keys[-1]])
+        try:
+            get("not.a.key")
+            raised = False
+        except KeyError:
+            raised = True
+        assert raised
+        # index-less directory: same surface over bare shards
+        (tmp_path / "model.safetensors.index.json").unlink()
+        get2 = _hf_state_dict_getter(tmp_path)
+        assert get2.all_keys == set(keys)
+        np.testing.assert_array_equal(get2(keys[half]), sd[keys[half]])
