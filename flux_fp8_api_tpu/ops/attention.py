@@ -40,6 +40,9 @@ _QKNORM_BLOCKS_MEASURED = {
     4352: (1088, 2176), # 1024×1024 + 256 (schnell)  2.60 (square 1088² is 2.64)
     2560: (640, 1280),  # 768×768   + 256 (schnell)  1.50 (square 1280² is 1.58)
     1536: (512, 1536),  # 512×512   + 512            1.13 (square 768² is 1.22)
+    # UI presets, autotuner-measured on v5e (round 3; autotune_blocks candidates):
+    4464: (744, 1488),  # 832×1216/1216×832 + 512    3.09 ms/call (square 744² is 3.28)
+    4544: (1136, 2272), # 1344×768  + 512            2.95 ms/call (square 1136² is 3.01)
 }
 
 

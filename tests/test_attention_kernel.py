@@ -300,10 +300,11 @@ class TestBlockAutotuner:
     def test_registered_blocks_take_effect_after_measured_table(self):
         attn = self._clear()
         try:
-            # unpinned length: heuristic → largest square divisor
-            assert attn._pick_blocks(4464) == (744, 744)
-            attn.register_tuned_blocks(4464, (744, 2232))
-            assert attn._pick_blocks(4464) == (744, 2232)
+            # unpinned length: heuristic → largest square divisor (4464/4544 are
+            # pinned since the round-3 autotune run, so use 4000 here)
+            assert attn._pick_blocks(4000) == (1000, 1000)
+            attn.register_tuned_blocks(4000, (1000, 2000))
+            assert attn._pick_blocks(4000) == (1000, 2000)
             # the hand-measured table stays authoritative over tuned entries
             attn.register_tuned_blocks(4608, (1152, 1152))
             assert attn._pick_blocks(4608) == (768, 1536)
