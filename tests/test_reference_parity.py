@@ -111,7 +111,7 @@ def _save_torch_sd(path, sd):
 
 
 class TestFluxForwardParity:
-    def _ref_model(self, ref, seed=0):
+    def _ref_model(self, ref, seed=0, dtype=None):
         p = ref.flux.FluxParams(**TINY_FLUX_PARAMS.model_dump())
         cfg = SimpleNamespace(
             params=p,
@@ -120,7 +120,9 @@ class TestFluxForwardParity:
             quantize_modulation=True,
         )
         ref.torch.manual_seed(seed)
-        model = ref.flux.Flux(cfg, dtype=ref.torch.float32)
+        dtype = dtype or ref.torch.float32
+        # mirror Flux.from_pretrained (flux_model.py:718-734): ctor dtype + .type()
+        model = ref.flux.Flux(cfg, dtype=dtype).type(dtype)
         model.eval()
         return model
 
@@ -185,6 +187,55 @@ class TestFluxForwardParity:
         scale = np.abs(theirs).mean()
         assert scale > 1e-3  # the comparison is non-degenerate
         np.testing.assert_allclose(ours, theirs, atol=2e-4 * max(scale, 1.0), rtol=2e-3)
+
+    def test_fp16_forward_matches_reference(self, ref, tmp_path):
+        """flow_dtype=float16 leg: same fp16 state dict through both stacks — pins
+        the fp16 compute policy (incl. the ±32000 clamp path being active on both
+        sides, flux_model.py:397-399/481-483) to fp16-level agreement."""
+        from flux_fp8_api_tpu.models.flux import FluxStatic, flux_apply
+        from flux_fp8_api_tpu.utils.checkpoint import load_flux_checkpoint
+
+        torch = ref.torch
+        model = self._ref_model(ref, seed=3, dtype=torch.float16)
+        path = tmp_path / "flux16.safetensors"
+        _save_torch_sd(path, model.state_dict())
+        cfg = FluxStatic.from_params(
+            TINY_FLUX_PARAMS, compute_dtype="float16", use_pallas=False
+        )
+        assert cfg.do_clamp
+        params = load_flux_checkpoint(str(path), cfg, dtype=jnp.float16, strict=True)
+
+        rng = np.random.RandomState(6)
+        b, l_img, txt_len = 1, 16, 8
+        img = rng.randn(b, l_img, TINY_FLUX_PARAMS.in_channels).astype(np.float16)
+        txt = rng.randn(b, txt_len, TINY_FLUX_PARAMS.context_in_dim).astype(np.float16)
+        img_ids = np.zeros((b, l_img, 3), np.float32)
+        img_ids[..., 2] = np.arange(l_img)
+        txt_ids = np.zeros((b, txt_len, 3), np.float32)
+        y = rng.randn(b, TINY_FLUX_PARAMS.vec_in_dim).astype(np.float16)
+        t = np.array([0.5], np.float32)
+        g = np.array([3.5], np.float32)
+        with torch.no_grad():
+            theirs = model(
+                torch.from_numpy(img),
+                torch.from_numpy(img_ids).half(),
+                torch.from_numpy(txt),
+                torch.from_numpy(txt_ids).half(),
+                torch.from_numpy(t).half(),
+                torch.from_numpy(y),
+                torch.from_numpy(g).half(),
+            ).float().numpy()
+        ours = np.asarray(
+            flux_apply(
+                params, cfg,
+                jnp.asarray(img), jnp.asarray(img_ids), jnp.asarray(txt),
+                jnp.asarray(txt_ids), jnp.asarray(t), jnp.asarray(y), jnp.asarray(g),
+            ).astype(jnp.float32)
+        )
+        scale = np.abs(theirs).mean()
+        assert scale > 1e-3
+        # fp16 end-to-end: ~1e-3 relative per op, depth-5 accumulation
+        np.testing.assert_allclose(ours, theirs, atol=3e-2 * max(scale, 1.0), rtol=5e-2)
 
     def test_timestep_embedding_matches(self, ref):
         from flux_fp8_api_tpu.models.flux import timestep_embedding
