@@ -34,6 +34,7 @@ else:
 
 _PIPELINE_LOCK = threading.Lock()
 _METRICS = {"requests": 0, "images": 0, "total_seconds": 0.0, "last_seconds": None}
+_LAST_TIMINGS: dict = {}  # last COMPLETED request's pipeline.timings (lock-snapshotted)
 
 
 class GenerateArgs(BaseModel):
@@ -83,6 +84,11 @@ def generate(args: GenerateArgs):
         _METRICS["images"] += 1
         _METRICS["total_seconds"] += dt
         _METRICS["last_seconds"] = dt
+        # snapshot the per-phase timings while still holding the lock: a /metrics
+        # read during the NEXT in-flight request must not see a half-updated mix
+        # of this request's and that one's phases
+        global _LAST_TIMINGS
+        _LAST_TIMINGS = dict(getattr(app.state.model, "timings", {}))
     return StreamingResponse(result, media_type="image/jpeg")
 
 
@@ -147,6 +153,7 @@ def metrics() -> dict:
     out = dict(_METRICS)
     if _METRICS["requests"]:
         out["avg_seconds"] = _METRICS["total_seconds"] / _METRICS["requests"]
-    model = getattr(app.state, "model", None)
-    out.update(getattr(model, "timings", {}))
+    # _LAST_TIMINGS is rebound atomically under the generate lock — never a torn
+    # mix of an in-flight request's phases with the previous one's
+    out.update(_LAST_TIMINGS)
     return out

@@ -80,7 +80,9 @@ def main():
     from .pipeline import FluxPipeline
     from .utils.config import ModelVersion, load_config
 
-    overrides = {}
+    # the API server only ever calls generate(silent=True): skip the interactive
+    # per-step precompile (a second whole-model compile per bucket) under -C
+    overrides = {"precompile_interactive": False}
     if args.compilation_cache_dir:
         overrides["compilation_cache_dir"] = args.compilation_cache_dir
     if args.mesh:

@@ -181,7 +181,12 @@ def create_demo(config_path: str):
     """Load the pipeline from a config JSON and return the Blocks app."""
     from .pipeline import FluxPipeline
 
-    return build_ui(FluxPipeline.load_pipeline_from_config_path(config_path))
+    # the UI calls generate(silent=True): skip the interactive per-step precompile
+    return build_ui(
+        FluxPipeline.load_pipeline_from_config_path(
+            config_path, precompile_interactive=False
+        )
+    )
 
 
 def main(argv=None):

@@ -176,17 +176,10 @@ def load_clip_checkpoint(sd_get, cfg: CLIPConfig, dtype=jnp.bfloat16, report=Non
     (norm weights → ones) with the key recorded — shapes all derive from ``cfg``
     (reference strict=False analog, util.py:225-237)."""
 
+    from ..utils.checkpoint import LoadReport
+
     def fetch(name, shape, fill=0.0):
-        try:
-            arr = np.asarray(sd_get(name))
-            if report is not None:
-                report.consume(name)
-            return arr
-        except KeyError:
-            if report is None:
-                raise
-            report.miss(name)
-            return np.full(shape, fill, np.float32)
+        return LoadReport.fetch(sd_get, name, shape, fill, report)
 
     def lin(name, out_f, in_f):
         w = fetch(f"{name}.weight", (out_f, in_f))

@@ -196,17 +196,10 @@ def load_t5_checkpoint(sd_get, cfg: T5Config, dtype=jnp.bfloat16, report=None) -
     """
     inner = cfg.num_heads * cfg.d_kv
 
+    from ..utils.checkpoint import LoadReport
+
     def fetch(name, shape, fill=0.0):
-        try:
-            arr = np.asarray(sd_get(name))
-            if report is not None:
-                report.consume(name)
-            return arr
-        except KeyError:
-            if report is None:
-                raise
-            report.miss(name)
-            return np.full(shape, fill, np.float32)
+        return LoadReport.fetch(sd_get, name, shape, fill, report)
 
     def lin(name, out_f, in_f):
         w = fetch(name, (out_f, in_f))

@@ -7,8 +7,9 @@ flow tree in one ``device_put`` per generate, fully serializing transfer and
 compute. This module is the TPU-native version of the reference's idea:
 
 - top-level params (embedders, final layer — a few MB) stay resident on device;
-- the depth-stacked double/single blocks live on the host, pre-split into
-  per-block slices (~200MB each);
+- the depth-stacked double/single blocks live on the host, sliced lazily per
+  block at put time (~200MB transient each — the stacked tree stays the only
+  persistent host copy);
 - a host loop dispatches one jitted apply per block; during the FIRST denoise
   step it issues the ``device_put`` for block *i+1* before dispatching block
   *i*'s compute — JAX dispatch is asynchronous, so each host→HBM copy overlaps
@@ -99,19 +100,41 @@ def make_stream_fns(cfg: FluxStatic) -> Dict[str, Any]:
     return {"pre": pre, "double": double, "single": single, "final": final}
 
 
+class LazyBlockSlices:
+    """Per-block views over a depth-stacked pytree, materialized on demand.
+
+    ``[i]`` computes ``tree.map(x[i])`` fresh each call — one transient per-block
+    copy (~200MB at flux-dev scale) that dies after its ``device_put`` — instead of
+    materializing depth-many slice copies up front, which would hold a second
+    ~12GB image of the flow in host RAM beside the stacked tree for the pipeline's
+    lifetime. Slicing happens only under step 1's puts, where the host→HBM
+    transfer itself dominates."""
+
+    def __init__(self, stack):
+        self._stack = stack
+        self._depth = jax.tree.leaves(stack)[0].shape[0]
+
+    def __len__(self) -> int:
+        return self._depth
+
+    def __getitem__(self, i: int):
+        if not 0 <= i < self._depth:
+            raise IndexError(i)
+        return jax.tree.map(lambda x: x[i], self._stack)
+
+
 def split_flow_params(params: Dict[str, Any]):
     """Host flow tree → (tops, per-double-block slices, per-single-block slices).
 
-    The slices are plain per-block pytrees (depth axis stripped), each one
+    The slices are lazy per-block pytrees (depth axis stripped), each one
     ``device_put``-able independently; ``None`` leaves (e.g. a schnell tree's
     ``guidance_in``) pass through as empty subtrees."""
     tops = {k: v for k, v in params.items() if k not in ("double_blocks", "single_blocks")}
-
-    def slices(stack) -> List:
-        depth = jax.tree.leaves(stack)[0].shape[0]
-        return [jax.tree.map(lambda x: x[i], stack) for i in range(depth)]
-
-    return tops, slices(params["double_blocks"]), slices(params["single_blocks"])
+    return (
+        tops,
+        LazyBlockSlices(params["double_blocks"]),
+        LazyBlockSlices(params["single_blocks"]),
+    )
 
 
 def streamed_denoise(
@@ -143,9 +166,11 @@ def streamed_denoise(
     )
     ts = jnp.asarray(timesteps, jnp.float32)
     pairs = list(zip(ts[:-1], ts[1:]))
-    slices = dbl_slices + sgl_slices
-    n = len(slices)
     n_dbl = len(dbl_slices)
+    n = n_dbl + len(sgl_slices)
+
+    def slice_at(j: int):
+        return dbl_slices[j] if j < n_dbl else sgl_slices[j - n_dbl]
 
     steps = pairs
     if progress:
@@ -159,7 +184,7 @@ def streamed_denoise(
     # device-resident copies, filled by the prefetch chain during step 1 and
     # dropped (freeing HBM) when this function returns
     dev: List = [None] * n
-    dev[0] = jax.device_put(slices[0], device)
+    dev[0] = jax.device_put(slice_at(0), device)
     for t_curr, t_prev in steps:
         t_vec = jnp.full((b,), t_curr, jnp.float32)
         img_e, txt_e, vec_silu, cos, sin = fns["pre"](
@@ -171,7 +196,7 @@ def streamed_denoise(
             # both are async, so the copy overlaps the matmuls (step 1 only;
             # afterwards everything is already resident)
             if j + 1 < n and dev[j + 1] is None:
-                dev[j + 1] = jax.device_put(slices[j + 1], device)
+                dev[j + 1] = jax.device_put(slice_at(j + 1), device)
             if j < n_dbl:
                 img_e, txt_e = fns["double"](dev[j], img_e, txt_e, vec_silu, cos, sin)
                 if j == n_dbl - 1:

@@ -327,11 +327,20 @@ def autotune_blocks(
 
 def save_tuned_blocks(path: str) -> None:
     """Persist the autotuned table (JSON) — lives beside the XLA compile cache so a
-    server restart reuses both the executables and the block choices."""
+    server restart reuses both the executables and the block choices. Best-effort:
+    an unwritable path must not abort a warmup whose compiles all succeeded (the
+    table just gets re-measured next boot)."""
     import json
+    import os
 
-    with open(path, "w") as f:
-        json.dump({str(l): list(b) for l, b in sorted(_TUNED_BLOCKS.items())}, f)
+    try:
+        parent = os.path.dirname(path)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
+        with open(path, "w") as f:
+            json.dump({str(l): list(b) for l, b in sorted(_TUNED_BLOCKS.items())}, f)
+    except OSError:
+        pass
 
 
 def load_tuned_blocks(path: str) -> int:
@@ -348,5 +357,6 @@ def load_tuned_blocks(path: str) -> int:
         for l, b in data.items():
             register_tuned_blocks(int(l), (int(b[0]), int(b[1])))
         return len(data)
-    except (ValueError, KeyError, IndexError, TypeError, OSError):
+    except (ValueError, KeyError, IndexError, TypeError, AttributeError, OSError):
+        # AttributeError: valid JSON that isn't an object (e.g. a list) has no .items()
         return 0

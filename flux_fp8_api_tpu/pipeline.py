@@ -790,7 +790,11 @@ class FluxPipeline:
         steps = self.config.warmup_steps or (
             4 if self.name == ModelVersion.flux_schnell.value else 24
         )
-        self.warmup(resolutions, num_steps=steps)
+        self.warmup(
+            resolutions,
+            num_steps=steps,
+            precompile_interactive=self.config.precompile_interactive,
+        )
 
     # ------------------------------------------------------------------------ loaders
 

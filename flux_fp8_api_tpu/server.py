@@ -45,6 +45,7 @@ class PipelineServer:
         self.port = port
         self.lock = threading.Lock()
         self.metrics = {"requests": 0, "images": 0, "total_seconds": 0.0, "last_seconds": None}
+        self.last_timings: Dict[str, Any] = {}  # last COMPLETED request (lock-snapshotted)
         self._httpd: Optional[ThreadingHTTPServer] = None
 
     # ------------------------------------------------------------------- handlers
@@ -67,6 +68,9 @@ class PipelineServer:
             self.metrics["images"] += 1
             self.metrics["total_seconds"] += dt
             self.metrics["last_seconds"] = dt
+            # snapshot per-phase timings under the lock so /metrics never reads a
+            # half-updated mix from the next in-flight request
+            self.last_timings = dict(getattr(self.pipeline, "timings", {}))
         return 200, "image/jpeg", out.getvalue()
 
     def handle_lora(self, body: Dict[str, Any]):
@@ -119,8 +123,10 @@ class PipelineServer:
         if out["requests"]:
             out["avg_seconds"] = out["total_seconds"] / out["requests"]
         # last-request per-phase timings incl. the reference's headline denoise
-        # it/s metric (flux_pipeline.py:628-630 tqdm rate; SURVEY.md §5 tracing)
-        out.update(getattr(self.pipeline, "timings", {}))
+        # it/s metric (flux_pipeline.py:628-630 tqdm rate; SURVEY.md §5 tracing).
+        # self.last_timings is rebound atomically under the generate lock — never
+        # a torn mix of an in-flight request's phases with the previous one's.
+        out.update(self.last_timings)
         return 200, "application/json", json.dumps(out).encode()
 
     # --------------------------------------------------------------------- server

@@ -59,6 +59,23 @@ class LoadReport:
         self.missing.append(key)
 
     @staticmethod
+    def fetch(sd_get, name: str, shape, fill: float = 0.0, report=None):
+        """Tolerant tensor fetch shared by the T5/CLIP loaders: ``sd_get(name)``
+        with consumption recorded; a KeyError becomes a recorded miss + a fill of
+        the expected shape when a report is given (reference strict=False analog,
+        util.py:225-237), and re-raises otherwise."""
+        try:
+            arr = np.asarray(sd_get(name))
+            if report is not None:
+                report.consume(name)
+            return arr
+        except KeyError:
+            if report is None:
+                raise
+            report.miss(name)
+            return np.full(shape, fill, np.float32)
+
+    @staticmethod
     def _fmt(keys, cap: int = 12) -> str:
         keys = sorted(keys)
         tail = f" … +{len(keys) - cap} more" if len(keys) > cap else ""
@@ -407,17 +424,23 @@ def _permute_linear_in(lin: Linear, perm: np.ndarray) -> Linear:
     """Permute a Linear's input channels (kernel/q rows). Per-out-channel scales,
     bias and input scales are untouched — only the contraction order changes.
 
-    Kinds whose in-axis is packed multiple-rows-per-byte (int4 half-split,
-    blockwise wo_int4/wo_int2) can't be row-permuted in place: those round-trip
-    dequantize → permute → requantize via ops.quant.with_kernel (which keeps the
-    tuned input scales). The per-out-channel-scaled int4 round-trip is exact;
-    wo_* recomputes blockwise amax over the permuted rows (same values, new
-    block membership — sub-quantization-step drift)."""
+    int4's half-split in-axis packs two rows per byte, so it can't be row-permuted
+    in place: it round-trips dequantize → permute → requantize via
+    ops.quant.with_kernel (exact — per-out-channel scales are row-independent —
+    and keeps the tuned input scales). Blockwise weight-only kinds (wo_*) are
+    rejected loudly: their blocked in-axis can't be permuted in place either, and
+    with_kernel refuses to requantize them — flow trees (the only relayout
+    targets) never carry wo_* leaves."""
     import dataclasses
 
     from ..ops.quant import dequantize_kernel, with_kernel
 
-    if lin.q is not None and lin.kind in ("int4", "wo_int4", "wo_int2"):
+    if lin.kind.startswith("wo_"):
+        raise ValueError(
+            f"in-axis permutation of a weight-only ({lin.kind}) leaf is not "
+            "supported — weight-only tiers are text-encoder-only"
+        )
+    if lin.q is not None and lin.kind == "int4":
 
         def roundtrip(l):
             return with_kernel(l, dequantize_kernel(l)[perm, :], l.bias)

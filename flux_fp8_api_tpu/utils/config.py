@@ -147,6 +147,11 @@ class ModelSpec(BaseModel):
     # the API defaults: 720×1024 at 24 steps (4 for schnell).
     warmup_resolutions: Optional[List[List[int]]] = None
     warmup_steps: Optional[int] = None
+    # Also precompile the interactive (tqdm per-step) denoise path per bucket, so the
+    # first non-silent generate after compile() doesn't pause. Servers only ever call
+    # generate(silent=True), so main.py/main_gr.py turn this off — each interactive
+    # precompile is a second whole-model compile per bucket.
+    precompile_interactive: bool = True
     # Use Pallas kernels for the hot ops where available (falls back to XLA on CPU).
     use_pallas: bool = True
     # Execute the qfloat8 flow tier on the int8 MXU (the TPU analog of the reference's

@@ -326,7 +326,19 @@ class TestBlockAutotuner:
                 f.write("{not json")
             attn._TUNED_BLOCKS.clear()
             assert attn.load_tuned_blocks(path) == 0
+            # VALID json that isn't an object (no .items()) → also ignored
+            for payload in ('[1, 2]', '"x"', '{"4464": 7}'):
+                with open(path, "w") as f:
+                    f.write(payload)
+                assert attn.load_tuned_blocks(path) == 0
             assert attn.load_tuned_blocks(str(tmp_path / "missing.json")) == 0
+            # save is best-effort: creates missing parents, swallows unwritable paths
+            attn.register_tuned_blocks(4000, (1000, 1000))
+            nested = str(tmp_path / "new" / "dir" / "attn_blocks.json")
+            attn.save_tuned_blocks(nested)
+            attn._TUNED_BLOCKS.clear()
+            assert attn.load_tuned_blocks(nested) == 1
+            attn.save_tuned_blocks(str(tmp_path))  # a directory: OSError, no raise
         finally:
             attn._TUNED_BLOCKS.clear()
 
