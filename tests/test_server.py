@@ -110,3 +110,46 @@ class TestServer:
         # (VERDICT r2 item 7) — the server fixture has generated at least once
         assert body["denoise_it_per_s"] > 0
         assert body["denoise_seconds"] > 0
+
+    def test_concurrent_generate_and_metrics(self, server):
+        """ThreadingHTTPServer race coverage: generates serialize on the pipeline
+        lock while /metrics polls concurrently — every response is well-formed and
+        the counters land exactly (metrics snapshot is taken under the lock, so a
+        poll mid-request never sees a torn phase mix)."""
+        import threading
+
+        before = _get("/metrics")[1]["requests"]
+        n = 4
+        results, errors = [], []
+
+        def gen(i):
+            try:
+                status, ctype, body = _post(
+                    "/generate",
+                    {"prompt": f"cat {i}", "width": 64, "height": 64, "num_steps": 1},
+                )
+                results.append((status, ctype, body[:3]))
+            except Exception as e:  # pragma: no cover - failure detail
+                errors.append(e)
+
+        def poll():
+            try:
+                for _ in range(20):
+                    status, body = _get("/metrics")
+                    assert status == 200
+                    # phases come as one consistent snapshot (or not yet at all)
+                    if "denoise_seconds" in body:
+                        assert body["denoise_it_per_s"] > 0
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+
+        threads = [threading.Thread(target=gen, args=(i,)) for i in range(n)]
+        threads.append(threading.Thread(target=poll))
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+        assert not errors, errors
+        assert len(results) == n
+        assert all(s == 200 and c == "image/jpeg" and b == b"\xff\xd8\xff" for s, c, b in results)
+        assert _get("/metrics")[1]["requests"] == before + n
