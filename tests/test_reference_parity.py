@@ -483,6 +483,28 @@ class TestScheduleParity:
         np.testing.assert_allclose(np.asarray(ours), np.asarray(theirs), atol=1e-6)
 
 
+# ----------------------------------------------------------------- shipped configs
+
+
+class TestReferenceConfigFiles:
+    def test_all_shipped_reference_configs_parse(self):
+        """Every config JSON the reference actually ships (11 files — cuda devices,
+        fp16 dtypes, stray offload_ae/offload_text_enc keys) loads unchanged through
+        our ModelSpec (util.py:38-79 schema parity)."""
+        from flux_fp8_api_tpu.utils.config import into_dtype, load_config_from_path
+
+        paths = sorted((REF / "configs").glob("*.json"))
+        assert len(paths) == 11
+        for p in paths:
+            spec = load_config_from_path(str(p))
+            assert spec.params.hidden_size == 3072
+            into_dtype(spec.flow_dtype)
+            if "prequant" in p.name:
+                assert spec.prequantized_flow
+            if "schnell" in p.name:
+                assert str(spec.version).endswith("schnell")
+
+
 # ----------------------------------------------------------------- LoRA conversion
 
 
