@@ -150,8 +150,11 @@ def group_tokens_and_weights(
     if token_ids:
         if pad_tokens:
             padding_len = max_len - len(token_ids) if pad_last_block else 0
-            out_ids.append([bos] + token_ids + [eos] * padding_len + [eos])
-            out_weights.append([1.0] + weights + [1.0] * padding_len + [1.0])
+            # bos=None means no BOS framing (T5-style), same as the loop above
+            head_ids = [bos] if bos is not None else []
+            head_w = [1.0] if bos is not None else []
+            out_ids.append(head_ids + token_ids + [eos] * padding_len + [eos])
+            out_weights.append(head_w + weights + [1.0] * padding_len + [1.0])
         else:
             out_ids.append(token_ids)
             out_weights.append(weights)

@@ -120,7 +120,6 @@ def _downsample(p: Dict[str, Any], x: jnp.ndarray) -> jnp.ndarray:
 
 def _upsample(p: Dict[str, Any], x: jnp.ndarray) -> jnp.ndarray:
     """nearest ×2 + 3×3 conv (autoencoder.py:110-120)."""
-    b, h, w, c = x.shape
     x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
     return _conv(p["conv"], x)
 

@@ -126,7 +126,17 @@ def load_flow_model(config: ModelSpec, use_pallas: Optional[bool] = None):
             return fast_accum(params, calibrated=has_scales), cfg, has_scales
     else:
         params = init_flux_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
-    if not config.prequantized_flow and kind is not None:
+    if kind is not None:
+        # Reached with float leaves: either prequantized_flow is false, or it was
+        # claimed but the file matched neither prequant format. The reference's
+        # F8Linear quantizes raw float weights on load either way
+        # (float8_quantize.py:91-193 dual path) — silently keeping bf16 would put
+        # a ~24GB flow on a 16GB chip, OOMing far from the misconfigured field.
+        if config.prequantized_flow:
+            logger.warning(
+                "prequantized_flow=true but the checkpoint is a plain float file "
+                "(neither prequant format matched): quantizing at load instead"
+            )
         params = quantize_flux_tree(
             params,
             quantize_modulation=config.quantize_modulation,
@@ -195,12 +205,25 @@ def load_autoencoder(config: ModelSpec):
     return params
 
 
+def _looks_like_hub_id(path) -> bool:
+    """True for HF-hub ids ("org/name") that don't exist on disk. The reference's
+    shipped configs point text encoders at hub repos (config-dev.json:
+    city96/t5-v1_1-xxl-encoder-bf16, openai/clip-vit-large-patch14); this image has
+    no hub access, so those route to the warn-and-random-tower fallback instead of
+    a FileNotFoundError deep inside from_pretrained."""
+    import re
+    from pathlib import Path
+
+    p = str(path)
+    return not Path(p).exists() and re.fullmatch(r"[\w.\-]+/[\w.\-]+", p) is not None
+
+
 def load_text_encoders(config: ModelSpec):
     """→ (clip, t5) TextEncoders (reference util.py:259-275)."""
     dtype = config.text_enc_dtype
     device = into_device(config.text_enc_device)
     offload = config.offload_text_encoder
-    if config.clip_path and not str(config.clip_path).startswith("openai/"):
+    if config.clip_path and not _looks_like_hub_id(config.clip_path):
         clip = TextEncoder.from_pretrained(
             "clip",
             config.clip_path,
@@ -219,7 +242,14 @@ def load_text_encoders(config: ModelSpec):
                 "CLIP — generated images will not follow prompts"
             )
         clip = _random_clip(config, device, offload)
-    if config.text_enc_path:
+    if config.text_enc_path and _looks_like_hub_id(config.text_enc_path):
+        logger.warning(
+            f"text_enc_path={config.text_enc_path!r} is a hub id, not a local path "
+            "(no hub access in this environment): using a RANDOM-weight toy T5 — "
+            "generated images will not follow prompts"
+        )
+        t5 = _random_t5(config, device, offload)
+    elif config.text_enc_path:
         t5 = TextEncoder.from_pretrained(
             "t5",
             config.text_enc_path,

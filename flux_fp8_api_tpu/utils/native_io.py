@@ -44,8 +44,16 @@ def get_lib() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not _SO.exists() and _SRC.exists():
-            if not _build():
+        # rebuild when the source is newer than the .so — a stale library would
+        # otherwise silently serve old code (or, on ABI mismatch below, silently
+        # disable the native path forever)
+        stale = (
+            _SO.exists()
+            and _SRC.exists()
+            and _SRC.stat().st_mtime > _SO.stat().st_mtime
+        )
+        if (not _SO.exists() or stale) and _SRC.exists():
+            if not _build() and not _SO.exists():
                 return None
         if not _SO.exists():
             return None

@@ -33,7 +33,10 @@ int stload_read(const char* path, uint64_t offset, uint64_t size, void* dest,
   if (n_threads < 1) n_threads = 1;
   if (n_threads > 64) n_threads = 64;
   const uint64_t kMinChunk = 8ull << 20;  // 8MB floor per thread
-  uint64_t chunk = size / static_cast<uint64_t>(n_threads);
+  // ceiling division: a floored chunk would spawn n_threads+1 workers for any
+  // size not divisible by n_threads, exceeding the documented cap by one
+  uint64_t chunk =
+      (size + static_cast<uint64_t>(n_threads) - 1) / static_cast<uint64_t>(n_threads);
   if (chunk < kMinChunk) chunk = kMinChunk;
   int threads = static_cast<int>((size + chunk - 1) / chunk);
   if (threads < 1) threads = 1;

@@ -588,3 +588,26 @@ class TestTolerantLoading:
             r.miss(f"k{i:02d}")
         msg = LoadReport._fmt(r.missing)
         assert "+28 more" in msg
+
+    def test_prequantized_claim_on_plain_checkpoint_still_quantizes(self, tmp_path):
+        """prequantized_flow=true pointing at an ordinary float checkpoint must not
+        silently ship bf16 leaves (a ~24GB flow on a 16GB chip at full scale) — the
+        reference's F8Linear quantizes raw float weights on load either way
+        (float8_quantize.py:91-193 dual path). We warn and quantize."""
+        from flux_fp8_api_tpu.utils.loader import flux_from_pretrained
+
+        from .helpers import tiny_spec
+
+        ckpt = str(tmp_path / "flux.safetensors")
+        _synthetic_bfl_checkpoint(ckpt)
+        cfg_path = str(tmp_path / "config.json")
+        spec = tiny_spec(
+            ckpt_path=ckpt, prequantized_flow=True, flow_quantization_dtype="qint8"
+        )
+        with open(cfg_path, "w") as f:
+            f.write(spec.model_dump_json())
+        params, cfg, prequant = flux_from_pretrained(cfg_path)
+        assert not prequant  # calibration still required
+        assert params["double_blocks"]["img_attn_qkv"].kind == "int8"
+        out = flux_apply(params, cfg, **tiny_inputs())
+        assert bool(jnp.all(jnp.isfinite(out.astype(jnp.float32))))

@@ -373,3 +373,36 @@ class TestZeroScaleTrials:
         pipe.compile()  # must return, not spin
         out = pipe.generate(prompt="a cat", width=64, height=64, num_steps=1, seed=0, silent=True)
         assert decode_jpeg(out).shape == (64, 64, 3)
+
+
+class TestHubIdFallback:
+    """Reference-shipped configs point text encoders at HF hub repos
+    (config-dev.json: city96/t5-v1_1-xxl-encoder-bf16, openai/clip-vit-large-patch14).
+    No hub access here → both must warn and degrade to random towers, for ANY
+    org/name id, instead of FileNotFoundError deep in from_pretrained."""
+
+    def test_hub_ids_degrade_to_random_towers(self):
+        from flux_fp8_api_tpu.utils.loader import load_text_encoders
+
+        from .helpers import tiny_spec
+
+        spec = tiny_spec(
+            clip_path="laion/CLIP-ViT-L-14",
+            text_enc_path="city96/t5-v1_1-xxl-encoder-bf16",
+        )
+        clip, t5 = load_text_encoders(spec)
+        out = t5(["a cat"])
+        assert out.shape[0] == 1
+
+    def test_local_like_missing_path_still_raises(self, tmp_path):
+        from flux_fp8_api_tpu.utils.loader import load_text_encoders
+
+        from .helpers import tiny_spec
+
+        spec = tiny_spec(text_enc_path=str(tmp_path / "nonexistent_dir"))
+        try:
+            load_text_encoders(spec)
+            raised = False
+        except (FileNotFoundError, OSError):
+            raised = True
+        assert raised
