@@ -96,11 +96,37 @@ class TextEncoder:
         else:
             self.params = params
         self._jit_encode = jax.jit(self._encode_ids_impl)
+        self._mesh_shardings = None  # set by shard(); reused across offload cycles
 
     # ---------------------------------------------------------------- device moves
+    def shard(self, mesh, tp_axis: str = "tp"):
+        """Shard the encoder Megatron-style over a tp mesh (parallel/mesh.py
+        encoder_param_shardings) — T5-XXL's 4.7B params split across chips instead
+        of replicating, with GSPMD inserting the two per-block all-reduces. An
+        offloaded encoder records the shardings and applies them at each
+        :meth:`to_device`; the host copy stays un-sharded."""
+        from ..parallel.mesh import encoder_param_shardings
+
+        self._mesh_shardings = encoder_param_shardings(self.params, mesh, tp_axis)
+        if not self.offload:
+            self.params = jax.tree.map(
+                lambda x, s: x if s is None else jax.device_put(x, s),
+                self.params,
+                self._mesh_shardings,
+                is_leaf=lambda x: x is None,
+            )
+
     def to_device(self):
-        """Host → accelerator (reference HFEmbedder.cuda(), conditioner.py:98-100)."""
-        if self.device is not None:
+        """Host → accelerator (reference HFEmbedder.cuda(), conditioner.py:98-100);
+        onto the mesh instead when :meth:`shard` was called."""
+        if self._mesh_shardings is not None:
+            self.params = jax.tree.map(
+                lambda x, s: x if s is None else jax.device_put(x, s),
+                self.params,
+                self._mesh_shardings,
+                is_leaf=lambda x: x is None,
+            )
+        elif self.device is not None:
             self.params = jax.device_put(self.params, self.device)
 
     def to_host(self):
@@ -116,6 +142,16 @@ class TextEncoder:
 
     def encode_ids(self, input_ids: jnp.ndarray) -> jnp.ndarray:
         """(B, L) ids → pooled (clip) or last_hidden_state (t5)."""
+        if self._mesh_shardings is not None:
+            # ids replicate onto the mesh — jit rejects mixed mesh/single-device args
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            some = next(
+                s for s in jax.tree.leaves(self._mesh_shardings) if s is not None
+            )
+            input_ids = jax.device_put(
+                input_ids, NamedSharding(some.mesh, PartitionSpec())
+            )
         return self._jit_encode(self.params, input_ids)
 
     def __call__(self, texts: List[str]) -> jnp.ndarray:

@@ -178,3 +178,130 @@ def batch_sharding(mesh: Mesh, dp_axis: str = "dp") -> NamedSharding:
     """Inputs: batch over dp, everything else replicated."""
     dp = dp_axis if dp_axis in mesh.axis_names else None
     return NamedSharding(mesh, P(dp))
+
+
+# ------------------------------------------------------------- text encoders (tp)
+#
+# T5-XXL is 4.7B params — by far the largest non-flow model — and the reference can
+# only place it whole on one GPU (per-model device fields, util.py:51-53). Under a
+# tp mesh we run it Megatron-style like the flux blocks: q/k/v and the gated-FF
+# up-projections column-parallel, o and the FF down-projection row-parallel (one
+# all-reduce per block for each), everything tiny replicated. CLIP (123M) shares the
+# same rule table (its leaf names don't collide with T5's); sharding it mostly buys
+# uniformity, but the guard below replicates any field a given tp size doesn't
+# divide, so it is always safe to apply.
+
+_ENC_BLOCK_LINEAR_KIND = {
+    # T5 (models/t5.py blocks)
+    "q": "col",
+    "k": "col",
+    "v": "col",
+    "o": "row",
+    "wi_0": "col",
+    "wi_1": "col",
+    "wo": "row",
+    # CLIP (models/clip.py blocks)
+    "q_proj": "col",
+    "k_proj": "col",
+    "v_proj": "col",
+    "out_proj": "row",
+    "fc1": "col",
+    "fc2": "row",
+}
+
+
+def _enc_linear_shardings(lin: Linear, kind: str, mesh: Mesh, tp: str) -> Linear:
+    """Per-field NamedShardings for one depth-stacked encoder Linear leaf.
+
+    Weight-only kinds differ from the flux leaves in their scale layouts:
+    per-out-channel (depth, out) for wo_fp8/wo_int8, blockwise (depth, in/B, out)
+    for wo_int4/wo_int2 — blockwise scales shard WITH the kernel's in-axis on row
+    leaves. Any field whose sharded dim the tp size doesn't divide is replicated
+    (GSPMD reshards on the fly; correctness never depends on the annotation).
+    wo_int4/int2 row-sharding is clean because their packing is contiguous along
+    in (rows p·per_byte..p·per_byte+per_byte-1 per packed row) — unlike the flow's
+    half-split "int4" kind, which never appears on encoder leaves."""
+    size = mesh.shape[tp]
+
+    def ns(spec: P) -> NamedSharding:
+        return NamedSharding(mesh, spec)
+
+    def guarded(arr, spec: P):
+        if arr is None:
+            return None
+        for dim, axis in zip(arr.shape, spec):
+            if axis is not None and dim % size != 0:
+                return ns(P(*([None] * arr.ndim)))
+        return ns(spec)
+
+    def rep(a):
+        return None if a is None else ns(P(*([None] * a.ndim)))
+    if kind == "col":
+        kq = P(None, None, tp)
+        bias = P(None, tp)
+        # (depth, out) per-out-channel scales follow out; (depth, nblocks, out) too
+        sc2, sc3 = P(None, tp), P(None, None, tp)
+    else:  # row
+        kq = P(None, tp, None)
+        bias = P(None, None)
+        # per-out-channel scales are out-indexed → replicate; blockwise scales are
+        # in-indexed → shard with the kernel rows
+        sc2, sc3 = P(None, None), P(None, tp, None)
+
+    def scale_spec(a):
+        return None if a is None else guarded(a, sc2 if a.ndim == 2 else sc3)
+
+    import dataclasses
+
+    return dataclasses.replace(
+        lin,
+        kernel=guarded(lin.kernel, kq),
+        q=guarded(lin.q, kq),
+        bias=guarded(lin.bias, bias),
+        w_scale=scale_spec(lin.w_scale),
+        w_scale_inv=scale_spec(lin.w_scale_inv),
+        in_scale=rep(lin.in_scale),
+        in_scale_inv=rep(lin.in_scale_inv),
+    )
+
+
+def encoder_param_shardings(
+    params: Dict[str, Any], mesh: Mesh, tp_axis: str = "tp"
+) -> Dict[str, Any]:
+    """Sharding pytree for a T5 or CLIP param tree (models/t5.py / models/clip.py):
+    Megatron col/row over the stacked ``blocks`` Linear leaves, everything else
+    (embeddings, norms, pooled head) replicated. Works for float and every
+    weight-only tier."""
+    tp = tp_axis if (tp_axis and tp_axis in mesh.axis_names) else None
+
+    def replicated_like(tree):
+        return jax.tree.map(
+            lambda x: NamedSharding(mesh, P(*([None] * x.ndim))),
+            tree,
+            is_leaf=lambda x: x is None,
+        )
+
+    if tp is None or mesh.shape[tp] == 1:
+        return replicated_like(params)
+
+    out = {k: replicated_like(v) for k, v in params.items() if k != "blocks"}
+    out["blocks"] = {
+        k: (
+            _enc_linear_shardings(v, _ENC_BLOCK_LINEAR_KIND[k], mesh, tp)
+            if isinstance(v, Linear) and k in _ENC_BLOCK_LINEAR_KIND
+            else replicated_like(v)
+        )
+        for k, v in params["blocks"].items()
+    }
+    return out
+
+
+def shard_encoder_params(params: Dict[str, Any], mesh: Mesh, tp_axis: str = "tp"):
+    """Place a T5/CLIP param tree onto the mesh per the encoder TP rules."""
+    shardings = encoder_param_shardings(params, mesh, tp_axis)
+    return jax.tree.map(
+        lambda x, s: x if s is None else jax.device_put(x, s),
+        params,
+        shardings,
+        is_leaf=lambda x: x is None,
+    )

@@ -181,6 +181,16 @@ class FluxPipeline:
                 if model is not None:
                     model = relayout_flux_tree(model, self.model_cfg)
                 logger.info("mesh serving: head-major (grouped) fused layout for tp")
+            if mesh_spec.get("tp", 1) > 1:
+                # the text encoders shard Megatron-style over the same tp axis:
+                # T5-XXL's 4.7B params split across chips instead of replicating
+                # (parallel/mesh.py encoder_param_shardings) — two all-reduces per
+                # block, inserted by GSPMD. Offloaded encoders re-shard at each
+                # to_device(); CLIP is tiny but shares the rules for uniformity.
+                for enc in (clip, t5):
+                    if enc is not None and hasattr(enc, "shard"):
+                        enc.shard(self.mesh)
+                logger.info("mesh serving: text encoders tp-sharded (Megatron col/row)")
 
         self.model_params = (
             jax.device_put(model, self._host)

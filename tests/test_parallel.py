@@ -528,3 +528,130 @@ class TestSequenceParallelAttention:
 
         pipe = make_pipeline(mesh={"dp": 2}, use_pallas=True, flow_dtype="float32")
         assert pipe.model_cfg.attn_shard_axes == ("dp",)
+
+
+class TestEncoderTensorParallel:
+    """Megatron tp sharding of the text encoders (parallel/mesh.py
+    encoder_param_shardings): T5-XXL is the largest non-flow model (4.7B) and the
+    reference can only place it whole on one GPU — under a tp mesh we split it
+    col/row like the flux blocks. Sharded encode must match unsharded for float
+    and every weight-only tier (the annotation is layout-only; GSPMD preserves
+    semantics)."""
+
+    def _t5(self):
+        from flux_fp8_api_tpu.models.t5 import T5Config, init_t5_params
+
+        # d_ff=128 exercises real blockwise int4 scales (two 64-blocks); d_model=64
+        # degenerates to one block per column (nblocks=1 → the divisibility guard
+        # replicates those scales while the kernel rows still shard)
+        cfg = T5Config(
+            vocab_size=64, d_model=64, d_ff=128, num_layers=2, num_heads=4, d_kv=16
+        )
+        return cfg, init_t5_params(jax.random.PRNGKey(1), cfg)
+
+    def test_t5_sharding_specs(self):
+        from flux_fp8_api_tpu.parallel.mesh import encoder_param_shardings
+
+        cfg, params = self._t5()
+        mesh = make_mesh({"tp": 2}, jax.devices()[:2])
+        sh = encoder_param_shardings(params, mesh)
+        assert sh["blocks"]["q"].kernel.spec == P(None, None, "tp")   # col
+        assert sh["blocks"]["wi_0"].kernel.spec == P(None, None, "tp")
+        assert sh["blocks"]["o"].kernel.spec == P(None, "tp", None)   # row
+        assert sh["blocks"]["wo"].kernel.spec == P(None, "tp", None)
+        assert sh["shared"].spec == P(None, None)                     # replicated
+
+    def test_t5_blockwise_scale_specs(self):
+        from flux_fp8_api_tpu.models.t5 import quantize_t5_params
+        from flux_fp8_api_tpu.parallel.mesh import encoder_param_shardings
+
+        cfg, params = self._t5()
+        qp = quantize_t5_params(params, "qint4")
+        mesh = make_mesh({"tp": 2}, jax.devices()[:2])
+        sh = encoder_param_shardings(qp, mesh)
+        # wo (row, in=d_ff=128): blockwise scales (depth, 2, out) shard with rows
+        assert sh["blocks"]["wo"].w_scale_inv.spec == P(None, "tp", None)
+        # q (col): blockwise scales follow the out axis like the kernel columns
+        # (nblocks=1 here is irrelevant — col never shards the in/block axis)
+        assert sh["blocks"]["q"].w_scale_inv.spec == P(None, None, "tp")
+        assert sh["blocks"]["q"].q.spec == P(None, None, "tp")
+
+    def test_t5_encode_matches_unsharded(self):
+        import pytest  # noqa: F401  (kept local: module imports stay minimal)
+
+        from jax.sharding import NamedSharding
+        from flux_fp8_api_tpu.models.t5 import quantize_t5_params, t5_encode
+        from flux_fp8_api_tpu.parallel.mesh import shard_encoder_params
+
+        cfg, params = self._t5()
+        ids = jax.random.randint(jax.random.PRNGKey(2), (2, 16), 0, cfg.vocab_size)
+        mesh = make_mesh({"tp": 2}, jax.devices()[:2])
+        for tier in (None, "qint8", "qint4"):
+            p = params if tier is None else quantize_t5_params(params, tier)
+            ref = t5_encode(p, cfg, ids, jnp.float32)
+            sp = shard_encoder_params(p, mesh)
+            ids_m = jax.device_put(ids, NamedSharding(mesh, P()))
+            out = jax.jit(lambda pp, ii: t5_encode(pp, cfg, ii, jnp.float32))(sp, ids_m)
+            np.testing.assert_allclose(
+                np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5,
+                err_msg=f"tier={tier}",
+            )
+
+    def test_t5_sharded_encode_contains_allreduce(self):
+        """Row-parallel o/wo must produce GSPMD all-reduces — the Megatron shape."""
+        from jax.sharding import NamedSharding
+        from flux_fp8_api_tpu.models.t5 import t5_encode
+        from flux_fp8_api_tpu.parallel.mesh import shard_encoder_params
+
+        cfg, params = self._t5()
+        ids = jnp.zeros((1, 8), jnp.int32)
+        mesh = make_mesh({"tp": 2}, jax.devices()[:2])
+        sp = shard_encoder_params(params, mesh)
+        ids_m = jax.device_put(ids, NamedSharding(mesh, P()))
+        txt = (
+            jax.jit(lambda pp, ii: t5_encode(pp, cfg, ii, jnp.float32))
+            .lower(sp, ids_m)
+            .compile()
+            .as_text()
+        )
+        assert "all-reduce" in txt
+
+    def test_clip_encode_matches_unsharded(self):
+        from jax.sharding import NamedSharding
+        from flux_fp8_api_tpu.models.clip import (
+            CLIPConfig,
+            clip_encode,
+            init_clip_params,
+            quantize_clip_params,
+        )
+        from flux_fp8_api_tpu.parallel.mesh import shard_encoder_params
+
+        cfg = CLIPConfig(
+            vocab_size=64, hidden_size=64, intermediate_size=128, num_layers=2,
+            num_heads=4, max_position_embeddings=32,
+        )
+        params = init_clip_params(jax.random.PRNGKey(3), cfg)
+        ids = jax.random.randint(jax.random.PRNGKey(4), (2, 12), 0, cfg.vocab_size)
+        mesh = make_mesh({"tp": 2}, jax.devices()[:2])
+        for tier in (None, "qfloat8"):
+            p = params if tier is None else quantize_clip_params(params, tier)
+            _, ref = clip_encode(p, cfg, ids, jnp.float32)
+            sp = shard_encoder_params(p, mesh)
+            ids_m = jax.device_put(ids, NamedSharding(mesh, P()))
+            _, out = jax.jit(lambda pp, ii: clip_encode(pp, cfg, ii, jnp.float32))(sp, ids_m)
+            np.testing.assert_allclose(
+                np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5,
+                err_msg=f"tier={tier}",
+            )
+
+    def test_pipeline_wires_encoder_sharding(self):
+        """FluxPipeline with a tp mesh shards the text encoders at init (and the
+        generate path encodes through them — TestMeshServing covers numerics)."""
+        from .test_pipeline import make_pipeline
+
+        pipe = make_pipeline(mesh={"dp": 1, "tp": 2}, flow_dtype="float32")
+        k = pipe.t5.params["blocks"]["q"].kernel
+        assert k.sharding.spec == P(None, None, "tp")
+        assert len(k.devices()) == 2
+        # replicated leaves live on the mesh too (mixed-device jit args are invalid)
+        assert len(pipe.t5.params["shared"].devices()) == 2
