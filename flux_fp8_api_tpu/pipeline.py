@@ -197,8 +197,8 @@ class FluxPipeline:
             if self.offload_flow
             else self._place_flow(model)
         )
-        self.ae_params = jax.device_put(
-            ae, self._host if self.offload_vae else self.device_ae
+        self.ae_params = (
+            jax.device_put(ae, self._host) if self.offload_vae else self._place_ae(ae)
         )
 
         # fp8/int8 input-scale calibration state (reference num_scale_trials=12,
@@ -272,6 +272,36 @@ class FluxPipeline:
 
             return contextlib.nullcontext()
         return jax.set_mesh(self.mesh)
+
+    def _place_ae(self, params):
+        """VAE params → device, or replicated over the mesh (the decode jit rejects
+        mixed single-device/mesh args; the conv weights are ~160MB — replication is
+        the right layout, the spatial work shards via the INPUT, see
+        :meth:`_ae_input_sharding`)."""
+        if self.mesh is None:
+            return jax.device_put(params, self.device_ae)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(params, NamedSharding(self.mesh, P()))
+
+    def _ae_input_sharding(self, h: int):
+        """NHWC sharding for a VAE input of spatial height ``h``: rows over as many
+        mesh axes as divide ``h`` — GSPMD spatially partitions the convs with
+        automatic halo exchange, so every chip works on a horizontal band of the
+        image instead of replicating the whole decode. Falls back to replication
+        when nothing divides."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        axes = [a for a in ("dp", "tp") if self.mesh.shape.get(a, 1) > 1]
+        for cand in ([tuple(axes)] if len(axes) > 1 else []) + [(a,) for a in axes]:
+            if h % int(np.prod([self.mesh.shape[a] for a in cand])) == 0:
+                return NamedSharding(self.mesh, P(None, cand, None, None))
+        return NamedSharding(self.mesh, P())
+
+    def _put_ae_input(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.mesh is None:
+            return jax.device_put(x, self.device_ae)
+        return jax.device_put(x, self._ae_input_sharding(x.shape[1]))
 
     def _place_flow(self, params):
         """Flow params → their serving placement: GSPMD-sharded over the mesh when one
@@ -411,9 +441,13 @@ class FluxPipeline:
             arr = self.resize_center_crop(init_image, height, width)
             nhwc = (arr.astype(np.float32) / 127.5 - 1.0)[None]
             if self.offload_vae:
-                self.ae_params = jax.device_put(self.ae_params, self.device_ae)
+                self.ae_params = self._place_ae(self.ae_params)
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                key_ae = jax.device_put(key_ae, NamedSharding(self.mesh, P()))
             z = self._jit_ae_encode(
-                self.ae_params, jnp.asarray(nhwc, self.ae_dtype), key_ae
+                self.ae_params, self._put_ae_input(jnp.asarray(nhwc, self.ae_dtype)), key_ae
             )  # (1, h, w, 16)
             if self.offload_vae:
                 self.ae_params = jax.device_put(self.ae_params, self._host)
@@ -611,10 +645,10 @@ class FluxPipeline:
         """Packed latents → (B, H, W, 3) uint8 pixels (the [-1,1]→byte normalization
         runs in the decode jit — reference flux_pipeline.py:422-448 + :373-397)."""
         if self.offload_vae:
-            self.ae_params = jax.device_put(self.ae_params, self.device_ae)
+            self.ae_params = self._place_ae(self.ae_params)
         x = unpack_latents(latents.astype(jnp.float32), height, width)  # (B,16,h,w)
         x = jnp.transpose(x, (0, 2, 3, 1)).astype(self.ae_dtype)  # NHWC
-        x = jax.device_put(x, self.device_ae)
+        x = self._put_ae_input(x)
         pixels = self._jit_ae_decode(self.ae_params, x)
         if self.offload_vae:
             self.ae_params = jax.device_put(self.ae_params, self._host)

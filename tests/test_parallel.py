@@ -120,6 +120,10 @@ class TestMeshServing:
     def _pipe(self, mesh=None, **overrides):
         from .test_pipeline import make_pipeline
 
+        # ae_dtype f32: the sharded VAE is bit-exact in f32 (TestMeshVAE) but the
+        # bf16 AE's accumulation-order flips would pollute the FLOW tp-vs-single
+        # comparison below with ~0.7 mean uint8 steps of unrelated noise
+        overrides.setdefault("ae_dtype", "float32")
         return make_pipeline(mesh=mesh, flow_dtype="float32", **overrides)
 
     def test_generate_on_tp2_matches_single_device(self):
@@ -489,11 +493,16 @@ class TestSequenceParallelAttention:
         # — both change accumulation ORDER, not the function. (An XLA-SDPA reference
         # here compares two different kernels and the bound becomes arbitrary —
         # VERDICT r2 weak-item 1.)
+        # ae_dtype f32: the spatially-sharded VAE is bit-exact in f32
+        # (TestMeshVAE); bf16 AE accumulation flips would pollute this FLOW bound
         ref = decode_jpeg(
-            make_pipeline(flow_dtype="float32", use_pallas=True).generate(**kwargs)
+            make_pipeline(
+                flow_dtype="float32", use_pallas=True, ae_dtype="float32"
+            ).generate(**kwargs)
         )
         pipe = make_pipeline(
-            flow_dtype="float32", use_pallas=True, mesh={"dp": 1, "tp": 2, "sp": 2}
+            flow_dtype="float32", use_pallas=True, ae_dtype="float32",
+            mesh={"dp": 1, "tp": 2, "sp": 2},
         )
         assert pipe.model_cfg.attn_seq_axis == "sp"
         out = decode_jpeg(pipe.generate(**kwargs))
@@ -655,3 +664,54 @@ class TestEncoderTensorParallel:
         assert len(k.devices()) == 2
         # replicated leaves live on the mesh too (mixed-device jit args are invalid)
         assert len(pipe.t5.params["shared"].devices()) == 2
+
+
+class TestMeshVAE:
+    """Spatially-sharded VAE under the mesh: decode/encode inputs shard their H rows
+    over the mesh axes and GSPMD partitions the convs with automatic halo exchange
+    (pipeline._ae_input_sharding). Numerics must match the single-device decode up
+    to reduction-order noise in the fp32 GroupNorm means."""
+
+    def test_decode_matches_single_device(self):
+        from .test_pipeline import make_pipeline
+
+        # fp32 AE compute: spatial partitioning must be BIT-EXACT (GSPMD halo
+        # exchange reproduces each conv's full receptive field; only dtype rounding
+        # could differ, and fp32 convs accumulate in fp32 either way). Measured:
+        # bf16 ae_dtype drifts up to ±7 uint8 steps on this random-weight tiny AE —
+        # accumulation-order compounding, not a sharding defect, hence f32 here.
+        ref_pipe = make_pipeline(flow_dtype="float32", ae_dtype="float32")
+        mesh_pipe = make_pipeline(
+            mesh={"dp": 2, "tp": 2}, flow_dtype="float32", ae_dtype="float32"
+        )
+        lat = jax.random.normal(
+            jax.random.PRNGKey(9),
+            (1, 4 * 4, ref_pipe.config.params.in_channels),  # 64×64 → 4×4 patches
+            jnp.float32,
+        )
+        ref = ref_pipe.vae_decode(lat, 64, 64)
+        out = mesh_pipe.vae_decode(lat, 64, 64)
+        assert out.shape == ref.shape == (1, 64, 64, 3)
+        assert np.array_equal(out, ref)
+
+    def test_ae_input_sharding_picks_divisible_axes(self):
+        from .test_pipeline import make_pipeline
+
+        pipe = make_pipeline(mesh={"dp": 2, "tp": 2}, flow_dtype="float32")
+        assert pipe._ae_input_sharding(64).spec == P(None, ("dp", "tp"), None, None)
+        assert pipe._ae_input_sharding(6).spec == P(None, ("dp",), None, None)
+        assert pipe._ae_input_sharding(7).spec == P()
+
+    def test_img2img_generate_under_mesh(self):
+        """The encode leg (keyed DiagonalGaussian) runs mesh-sharded too."""
+        from .test_pipeline import decode_jpeg, make_pipeline
+
+        init = np.random.default_rng(3).integers(0, 255, (64, 64, 3), np.uint8)
+        pipe = make_pipeline(mesh={"dp": 1, "tp": 2}, flow_dtype="float32")
+        out = pipe.generate(
+            prompt="a cat", width=64, height=64, num_steps=2, seed=4, silent=True,
+            init_image=init, strength=0.5,
+        )
+        img = decode_jpeg(out)
+        assert img.shape == (64, 64, 3)
+        assert np.isfinite(img.astype(np.float32)).all()
