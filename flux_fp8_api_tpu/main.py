@@ -52,6 +52,13 @@ def parse_args(argv=None):
     parser.add_argument("--compilation-cache-dir", type=str, default=None,
                         help="Persistent XLA compilation cache: server restarts skip "
                              "the 20-60s serving-bucket compiles")
+    parser.add_argument("--save-prequantized", type=str, default=None, metavar="PATH",
+                        help="Calibrate (if needed), save a prequantized flow "
+                             "checkpoint (fp8 data + weight/input scales, ~50%% "
+                             "smaller, skips warmup at reload) to PATH, then exit "
+                             "instead of serving. The reference documents this as a "
+                             "manual run-24-steps-then-save-state_dict procedure "
+                             "(reference main.py:127-131); here it is one flag.")
     parser.add_argument("--mesh", type=str, default=None,
                         help="Multi-chip serving mesh, e.g. 'dp=1,tp=4': shards the "
                              "flow over (data, tensor) parallel axes (TPU extension; "
@@ -73,8 +80,8 @@ def parse_mesh(spec: str):
     return mesh
 
 
-def main():
-    args = parse_args()
+def main(argv=None):
+    args = parse_args(argv)
 
     # lazy imports so --help returns fast (reference main.py:154-156)
     from .pipeline import FluxPipeline
@@ -118,6 +125,22 @@ def main():
         for k, v in overrides.items():
             setattr(config, k, v)
         pipeline = FluxPipeline.load_pipeline_from_config(config)
+
+    if args.save_prequantized:
+        from .utils.logging import logger
+
+        if pipeline._needs_calibration:
+            # compile() runs the reference's warmup recipe until the input scales
+            # freeze (num_scale_trials forward passes), which save_prequantized
+            # requires — scales ship in the checkpoint
+            logger.info("calibrating input scales before prequantized export …")
+            pipeline.compile()
+        pipeline.save_prequantized(args.save_prequantized)
+        logger.info(
+            f"prequantized flow checkpoint written to {args.save_prequantized} — "
+            "reload with prequantized_flow=true (-PF)"
+        )
+        return
 
     try:
         import uvicorn

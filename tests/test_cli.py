@@ -75,3 +75,41 @@ class TestMeshFlag:
         args = parse_args(["--mesh", "dp=1,tp=2"])
         assert args.mesh == "dp=1,tp=2"
         assert parse_args([]).mesh is None
+
+
+class TestSavePrequantizedFlag:
+    def test_cli_exports_and_reloads_prequantized_checkpoint(self, tmp_path):
+        """--save-prequantized: calibrate → export → exit; the file round-trips
+        through the -PF load path with calibration skipped (scales ship in the
+        checkpoint — reference float8_quantize.py:91-193 dual-path load)."""
+        import json
+
+        import numpy as np
+        from PIL import Image
+
+        cfg = json.loads(open("configs/config-tiny-cpu.json").read())
+        cfg["flow_quantization_dtype"] = "qfloat8"
+        cfg["num_scale_trials"] = 2
+        cfg["warmup_resolutions"] = [[64, 64]]
+        cfg["warmup_steps"] = 2
+        cfg_path = tmp_path / "cfg.json"
+        cfg_path.write_text(json.dumps(cfg))
+        out = tmp_path / "prequant.safetensors"
+
+        from flux_fp8_api_tpu.main import main
+
+        main(["--config-path", str(cfg_path), "--save-prequantized", str(out)])
+        assert out.exists() and out.stat().st_size > 0
+
+        cfg["ckpt_path"] = str(out)
+        cfg["prequantized_flow"] = True
+        cfg2 = tmp_path / "cfg2.json"
+        cfg2.write_text(json.dumps(cfg))
+
+        from flux_fp8_api_tpu.pipeline import FluxPipeline
+
+        pipe = FluxPipeline.load_pipeline_from_config_path(str(cfg2))
+        assert not pipe._needs_calibration  # scales came from the file
+        buf = pipe.generate(prompt="x", width=64, height=64, num_steps=1, seed=0, silent=True)
+        img = np.array(Image.open(buf))
+        assert img.shape == (64, 64, 3)
