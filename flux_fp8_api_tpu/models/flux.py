@@ -79,6 +79,12 @@ class FluxStatic:
     # parallelism so tp shards never cross q/k/v/mlp boundaries; see
     # utils/checkpoint.py relayout_flux_tree). cfg and params must agree.
     fused_layout: str = "flat"
+    # rematerialize block activations under autodiff (jax.checkpoint on the scan
+    # bodies): backprop recomputes each block's forward instead of storing ~57
+    # blocks of (B, L, hidden) activations — the standard memory/FLOPs trade for
+    # training 12B-scale models on 16GB chips. Inference-only paths are unaffected
+    # (checkpoint is an autodiff construct; the primal computation is unchanged).
+    remat: bool = False
 
     @classmethod
     def from_params(
@@ -536,16 +542,22 @@ def flux_apply(
         img, txt = _double_block(cfg, blk, img, txt, vec_silu, cos, sin, block_tape)
         return (img, txt), (block_tape.amaxes if collect_amax else None)
 
+    def single_body(x, blk):
+        block_tape = _Tape(collect_amax)
+        x = _single_block(cfg, blk, x, vec_silu, cos, sin, block_tape)
+        return x, (block_tape.amaxes if collect_amax else None)
+
+    if cfg.remat:
+        # per-block rematerialization: the scan stores only each block's INPUT for
+        # the backward pass and recomputes the block body (parallel/train.py)
+        double_body = jax.checkpoint(double_body)
+        single_body = jax.checkpoint(single_body)
+
     (img, txt), double_amaxes = jax.lax.scan(
         double_body, (img, txt), params["double_blocks"]
     )
 
     x = jnp.concatenate([txt, img], axis=1)
-
-    def single_body(x, blk):
-        block_tape = _Tape(collect_amax)
-        x = _single_block(cfg, blk, x, vec_silu, cos, sin, block_tape)
-        return x, (block_tape.amaxes if collect_amax else None)
 
     x, single_amaxes = jax.lax.scan(single_body, x, params["single_blocks"])
 

@@ -54,18 +54,25 @@ def sgd_update(params, grads, lr: float = 1e-4):
     )
 
 
-def make_train_step(cfg: FluxStatic):
+def make_train_step(cfg: FluxStatic, remat: bool = True):
     """→ jitted step(params, batch, key) → (params, loss). Sharding comes from the
     argument placements (GSPMD propagates from param/batch shardings).
 
     Training always uses the XLA attention path: the Pallas serving kernel has no
     VJP, so differentiating a ``use_pallas=True`` (or shard_map-attention) cfg would
     crash at trace time — the GSPMD-partitioned XLA attention is differentiable and
-    shards the same way."""
+    shards the same way.
+
+    ``remat`` (default on) rematerializes each block under backprop
+    (``jax.checkpoint`` on the scan bodies): activations of the 19+38 block stacks
+    are recomputed instead of stored — at flux-dev scale storing them costs
+    ~57 · (B, 4608, 3072) bf16 ≈ 1.6GB·B beside 24GB of bf16 params+grads, so the
+    recompute (one extra forward) is what makes training reachable at all on
+    16GB-HBM chips. Identical numerics either way (same ops, same order)."""
     import dataclasses
 
     cfg = dataclasses.replace(
-        cfg, use_pallas=False, attn_shard_axes=None, attn_seq_axis=None
+        cfg, use_pallas=False, attn_shard_axes=None, attn_seq_axis=None, remat=remat
     )
 
     @partial(jax.jit, static_argnames=(), donate_argnums=(0,))
