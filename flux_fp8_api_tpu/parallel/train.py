@@ -47,11 +47,40 @@ def flow_matching_loss(
 
 
 def sgd_update(params, grads, lr: float = 1e-4):
-    """Minimal optimizer for the dry-run path (real training would plug optax here —
-    the step fn is optimizer-agnostic)."""
+    """Minimal optimizer for the dry-run path (:func:`make_train_step` with an
+    optax transform is the real-training entry)."""
     return jax.tree.map(
         lambda p, g: p - lr * g.astype(p.dtype) if g is not None else p, params, grads
     )
+
+
+def make_optax_train_step(cfg: FluxStatic, optimizer, remat: bool = True):
+    """Train step with a real optimizer: → (init_fn, step_fn) where
+    ``init_fn(params) -> opt_state`` and
+    ``step_fn(params, opt_state, batch, key) -> (params, opt_state, loss)``.
+
+    ``optimizer`` is any optax GradientTransformation (e.g.
+    ``optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(1e-4))``). The step
+    jits with params AND opt_state donated — Adam's two moment trees triple the
+    param memory, so in-place buffer reuse matters at 12B scale. Sharding flows
+    from the argument placements exactly like :func:`make_train_step`; optax's
+    moment trees inherit the grads' shardings (same tree structure), so dp/tp
+    layouts carry into the optimizer state with no extra annotations."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        cfg, use_pallas=False, attn_shard_axes=None, attn_seq_axis=None, remat=remat
+    )
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, batch, key):
+        loss, grads = jax.value_and_grad(flow_matching_loss)(params, cfg, batch, key)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        import optax
+
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    return optimizer.init, step
 
 
 def make_train_step(cfg: FluxStatic, remat: bool = True):

@@ -749,3 +749,44 @@ class TestRemat:
         batch = {k: jax.device_put(v, bshard) for k, v in batch.items()}
         _, loss = make_train_step(cfg, remat=True)(sharded, batch, jax.random.PRNGKey(5))
         assert np.isfinite(float(loss))
+
+
+class TestOptaxTrainStep:
+    def test_adamw_steps_reduce_loss(self):
+        import optax
+
+        from flux_fp8_api_tpu.parallel.train import make_optax_train_step
+
+        cfg = _cfg()
+        params = init_flux_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+        batch = make_dummy_batch(cfg, 2, 8, 8, 16, jax.random.PRNGKey(1))
+        init_fn, step = make_optax_train_step(
+            cfg, optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(2e-3))
+        )
+        opt_state = init_fn(params)
+        losses = []
+        for i in range(4):
+            # same batch + same key: pure optimization progress on a fixed objective
+            params, opt_state, loss = step(params, opt_state, batch, jax.random.PRNGKey(9))
+            losses.append(float(loss))
+        assert all(np.isfinite(l) for l in losses)
+        assert losses[-1] < losses[0], f"AdamW failed to reduce a fixed-batch loss: {losses}"
+
+    def test_adamw_sharded_opt_state_inherits_layout(self):
+        import optax
+
+        from flux_fp8_api_tpu.parallel.train import make_optax_train_step
+
+        cfg = _cfg()
+        mesh = make_mesh({"dp": 4, "tp": 2})
+        params = shard_flux_params(init_flux_params(jax.random.PRNGKey(0), cfg, jnp.float32), mesh)
+        batch = make_dummy_batch(cfg, 4, 8, 8, 16, jax.random.PRNGKey(1))
+        bshard = batch_sharding(mesh)
+        batch = {k: jax.device_put(v, bshard) for k, v in batch.items()}
+        init_fn, step = make_optax_train_step(cfg, optax.adamw(1e-4))
+        opt_state = jax.jit(init_fn)(params)
+        params, opt_state, loss = step(params, opt_state, batch, jax.random.PRNGKey(2))
+        assert np.isfinite(float(loss))
+        # Adam moments carry the Megatron layout (col-parallel qkv → out over tp)
+        mu = opt_state[0].mu  # adamw = scale_by_adam chain head
+        assert mu["double_blocks"]["img_attn_qkv"].kernel.sharding.spec == P(None, None, "tp")
