@@ -122,3 +122,52 @@ def make_dummy_batch(cfg: FluxStatic, batch: int, h_latent: int, w_latent: int, 
         "img_ids": make_img_ids(h_latent, w_latent, batch),
         "txt_ids": make_txt_ids(txt_len, batch),
     }
+
+
+# --------------------------------------------------------------- checkpoint/resume
+#
+# The reference has no training and therefore no resume story (SURVEY.md §5 row 4);
+# with a train step in the framework, resume becomes part of the surface. Orbax is
+# the TPU-native checkpointer: it writes each leaf as a sharded tensorstore array
+# (every host saves only its shards — no 36GB gather at 12B params + Adam moments)
+# and restores onto whatever mesh layout the template carries.
+
+
+def save_train_state(path, params, opt_state, step: int) -> None:
+    """Write {params, opt_state, step} to ``path`` (a directory) via orbax.
+
+    Works for single-device and mesh-sharded trees alike; safe to call every N
+    steps (each call is a fresh atomic directory write)."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, {"params": params, "opt_state": opt_state, "step": step})
+
+
+def restore_train_state(path, params_template, opt_state_template):
+    """→ (params, opt_state, step) restored from ``path``.
+
+    Templates are matching pytrees — concrete arrays or jax.ShapeDtypeStructs
+    carrying ``sharding`` — that tell orbax each leaf's dtype/shape/layout, so a
+    checkpoint written on one mesh restores directly onto another (or onto one
+    device) without a resharding pass."""
+    import orbax.checkpoint as ocp
+
+    def as_abstract(tree):
+        return jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=getattr(x, "sharding", None))
+            if hasattr(x, "shape")
+            else x,
+            tree,
+        )
+
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(
+            path,
+            {
+                "params": as_abstract(params_template),
+                "opt_state": as_abstract(opt_state_template),
+                "step": 0,
+            },
+        )
+    return restored["params"], restored["opt_state"], restored["step"]

@@ -790,3 +790,43 @@ class TestOptaxTrainStep:
         # Adam moments carry the Megatron layout (col-parallel qkv → out over tp)
         mu = opt_state[0].mu  # adamw = scale_by_adam chain head
         assert mu["double_blocks"]["img_attn_qkv"].kernel.sharding.spec == P(None, None, "tp")
+
+
+class TestTrainStateCheckpoint:
+    """Orbax save/restore of {params, opt_state, step} (parallel/train.py): resume
+    must round-trip the sharded trees bit-exactly, restoring onto the template's
+    mesh layout."""
+
+    def test_roundtrip_on_mesh(self, tmp_path):
+        import optax
+
+        from flux_fp8_api_tpu.parallel.train import (
+            make_optax_train_step,
+            restore_train_state,
+            save_train_state,
+        )
+
+        cfg = _cfg()
+        mesh = make_mesh({"dp": 2, "tp": 2}, jax.devices()[:4])
+        params = shard_flux_params(init_flux_params(jax.random.PRNGKey(0), cfg, jnp.float32), mesh)
+        batch = make_dummy_batch(cfg, 2, 8, 8, 16, jax.random.PRNGKey(1))
+        batch = {k: jax.device_put(v, batch_sharding(mesh)) for k, v in batch.items()}
+        init_fn, step = make_optax_train_step(cfg, optax.adamw(1e-4))
+        opt_state = jax.jit(init_fn)(params)
+        params, opt_state, _ = step(params, opt_state, batch, jax.random.PRNGKey(2))
+
+        path = str(tmp_path / "ckpt")
+        save_train_state(path, params, opt_state, step=7)
+        r_params, r_opt, r_step = restore_train_state(path, params, opt_state)
+        assert int(r_step) == 7
+        ref = params["double_blocks"]["img_attn_qkv"].kernel
+        got = r_params["double_blocks"]["img_attn_qkv"].kernel
+        assert got.sharding.spec == ref.sharding.spec  # layout restored, not just values
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+        mu_ref = opt_state[0].mu["single_blocks"]["linear1"].kernel
+        mu_got = r_opt[0].mu["single_blocks"]["linear1"].kernel
+        np.testing.assert_array_equal(np.asarray(mu_got), np.asarray(mu_ref))
+
+        # resume trains on: one more step from the restored state runs finite
+        _, _, loss = step(r_params, r_opt, batch, jax.random.PRNGKey(3))
+        assert np.isfinite(float(loss))
