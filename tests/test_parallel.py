@@ -418,6 +418,25 @@ class TestLoraUnderMesh:
         leaf = pipe.model_params["double_blocks"]["img_attn_qkv"].q
         assert leaf.sharding.spec == P(None, None, "tp")
 
+    def test_fused_lora_mesh_matches_single_device(self):
+        """The grouped (head-major) layout composes the rope-deinterleave with the
+        shard-time regroup inside fuse_lora (qkv/linear1 out-axes, linear2 in-axis).
+        A wrong permutation produces a silently different image — pin the meshed
+        fused result to the single-device (flat-layout) one."""
+        from .test_lora import make_kohya_lora
+        from .test_pipeline import decode_jpeg, make_pipeline
+
+        kwargs = dict(prompt="a cat", width=64, height=64, num_steps=2, seed=8, silent=True)
+        ref_pipe = make_pipeline(flow_dtype="float32", ae_dtype="float32")
+        ref_pipe.load_lora(make_kohya_lora(), scale=1.0, name="l1")
+        ref = decode_jpeg(ref_pipe.generate(**kwargs))
+        pipe = make_pipeline(flow_dtype="float32", ae_dtype="float32", mesh={"dp": 1, "tp": 2})
+        pipe.load_lora(make_kohya_lora(), scale=1.0, name="l1")
+        out = decode_jpeg(pipe.generate(**kwargs))
+        # f32 everywhere: only tp reduction-order noise — a permutation bug is
+        # orders of magnitude larger
+        assert np.mean(np.abs(out.astype(np.int16) - ref.astype(np.int16))) < 0.5
+
 
 class TestSequenceParallelAttention:
     """Context parallelism: q rows shard over "sp", each device runs its q shard
