@@ -235,7 +235,8 @@ def calculate_lora_delta(
     A = np.asarray(lora_A, np.float32)
     B = np.asarray(lora_B, np.float32)
     rank = B.shape[1]
-    alpha = rank if alpha is None else float(np.asarray(alpha))
+    # alpha ships as a 0-d scalar in most files but (1,) in some exporters
+    alpha = rank if alpha is None else float(np.asarray(alpha).reshape(-1)[0])
     if alpha != rank:
         A = A * (alpha / rank)
     if A.shape[0] != rank:  # uneven rank (fused-qkv concat): chunk A and sum
@@ -511,3 +512,136 @@ def pipeline_unload_lora(
         f"Couldn't remove lora {path_or_identifier} as it wasn't found fused to the model!"
     )
     return params, registry
+
+
+# --------------------------------------------------- trainable adapters (QLoRA-style)
+#
+# The reference can only CONSUME LoRAs (fuse into weights); it has no way to make one.
+# With a train step in the framework (parallel/train.py), producing LoRAs becomes part
+# of the surface — and on a 16GB-HBM chip it is the only way to train flux-dev at all:
+# full fine-tuning needs ~72GB (bf16 params+grads+Adam moments) while a frozen
+# int8/fp8/int4 base (6-12GB) + bf16 rank-r adapters (~100MB at r=16) + rematerialized
+# activations fits one chip. This is the QLoRA recipe mapped onto our leaves: the
+# quantized base stays byte-identical, adapters ride the Linear.lora_a/lora_b fields
+# (applied as an additive side branch in ops/quant.py linear_apply), and training
+# forwards run the differentiable dequantize path (FluxStatic.dequant_linears).
+#
+# Trained adapters export to a standard kohya-format ``lora_unet_*`` safetensors dict
+# (convert_kohya_to_bfl's input space, which the reference also loads,
+# lora_loading.py:435-463) — so a LoRA trained here serves here AND on the reference.
+
+DEFAULT_ADAPTER_TARGETS: Dict[str, Tuple[str, ...]] = {
+    "double_blocks": (
+        "img_attn_qkv", "txt_attn_qkv", "img_attn_proj", "txt_attn_proj",
+        "img_mlp_0", "img_mlp_2", "txt_mlp_0", "txt_mlp_2",
+    ),
+    "single_blocks": ("linear1", "linear2"),
+}
+
+
+def init_lora_adapters(
+    params: Dict[str, Any],
+    rank: int,
+    key,
+    targets: Optional[Dict[str, Tuple[str, ...]]] = None,
+    dtype=jnp.bfloat16,
+) -> Dict[str, Any]:
+    """→ adapter pytree ``{stack: {leaf: {"a": (D, in, r), "b": (D, r, out)}}}``.
+
+    A is kaiming-style normal (std 1/√in), B zeros — so the merged model is exactly
+    the base model at step 0 (standard LoRA init). The alpha/rank scale is folded
+    into the parametrization (runtime applies ``(x@A)@B`` unscaled; export writes
+    ``alpha=rank`` so every consumer applies scale 1.0). Stacked along the block
+    depth axis, adapters unstack through the same ``lax.scan`` as the base leaves."""
+    targets = DEFAULT_ADAPTER_TARGETS if targets is None else targets
+    adapters: Dict[str, Any] = {}
+    for stack, names in targets.items():
+        sub = {}
+        for name in names:
+            lin = params[stack][name]
+            depth = (lin.kernel if lin.kernel is not None else lin.q).shape[0]
+            in_f, out_f = lin.in_features, lin.out_features
+            key, ka = jax.random.split(key)
+            a = jax.random.normal(ka, (depth, in_f, rank), jnp.float32) * (in_f**-0.5)
+            sub[name] = {
+                "a": a.astype(dtype),
+                "b": jnp.zeros((depth, rank, out_f), dtype),
+            }
+        adapters[stack] = sub
+    return adapters
+
+
+def merge_lora_adapters(params: Dict[str, Any], adapters: Dict[str, Any]) -> Dict[str, Any]:
+    """Attach adapters onto the matching Linear leaves (pure; base arrays shared, not
+    copied). The merged tree runs through flux_apply like any other — linear_apply
+    adds the low-rank branch wherever lora_a is set."""
+    out = dict(params)
+    for stack, sub in adapters.items():
+        blk = dict(out[stack])
+        for name, ab in sub.items():
+            blk[name] = dataclasses.replace(blk[name], lora_a=ab["a"], lora_b=ab["b"])
+        out[stack] = blk
+    return out
+
+
+def export_lora_adapters(
+    adapters: Dict[str, Any], cfg: FluxStatic
+) -> Dict[str, np.ndarray]:
+    """Trained adapters → kohya-format (``lora_unet_*``) state dict.
+
+    Runtime weights live in the deinterleaved (and, under tp, head-major grouped)
+    rope layout while LoRA files are interchange artifacts in the checkpoint's
+    interleaved flat layout — this inverts exactly the permutations fuse_lora
+    applies at load (qkv/linear1 out-axis; linear2 in-axis when grouped), so
+    load(export(adapters)) reproduces the trained model bit-for-bit modulo requant.
+
+    Keys/layouts are torch-convention: ``lora_down.weight`` (r, in),
+    ``lora_up.weight`` (out, r), ``alpha`` = rank (scale 1.0)."""
+    from .utils.checkpoint import (
+        grouped_qkv_permutation,
+        linear2_in_permutation,
+        qkv_out_permutation,
+    )
+
+    qkv_perm = qkv_out_permutation(cfg.hidden_size, cfg.head_dim)
+    lin1_perm = qkv_out_permutation(cfg.hidden_size, cfg.head_dim, extra=cfg.mlp_hidden)
+    grouped = cfg.fused_layout == "grouped"
+    if grouped:
+        qkv_perm = qkv_perm[grouped_qkv_permutation(cfg.hidden_size, cfg.head_dim)]
+        lin1_perm = lin1_perm[
+            grouped_qkv_permutation(cfg.hidden_size, cfg.head_dim, extra=cfg.mlp_hidden)
+        ]
+    inv_qkv = np.argsort(qkv_perm)
+    inv_lin1 = np.argsort(lin1_perm)
+    inv_lin2_in = (
+        np.argsort(linear2_in_permutation(cfg.hidden_size, cfg.head_dim, cfg.mlp_hidden))
+        if grouped
+        else None
+    )
+
+    bfl_by_leaf = {v: k for k, v in _STACKED_LEAF_BY_BFL.items()}
+    sd: Dict[str, np.ndarray] = {}
+    for stack, sub in adapters.items():
+        for name, ab in sub.items():
+            a = np.asarray(jnp.asarray(ab["a"], jnp.float32))  # (D, in, r)
+            b = np.asarray(jnp.asarray(ab["b"], jnp.float32))  # (D, r, out)
+            if name in ("img_attn_qkv", "txt_attn_qkv"):
+                b = b[..., inv_qkv]
+            elif name == "linear1":
+                b = b[..., inv_lin1]
+            elif name == "linear2" and inv_lin2_in is not None:
+                a = a[:, inv_lin2_in, :]
+            bfl_leaf = bfl_by_leaf[name].replace(".", "_")
+            for i in range(a.shape[0]):
+                stem = f"lora_unet_{stack}_{i}_{bfl_leaf}"
+                sd[f"{stem}.lora_down.weight"] = np.ascontiguousarray(a[i].T)  # (r, in)
+                sd[f"{stem}.lora_up.weight"] = np.ascontiguousarray(b[i].T)  # (out, r)
+                sd[f"{stem}.alpha"] = np.float32(a.shape[-1])
+    return sd
+
+
+def save_lora_adapters(path: str, adapters: Dict[str, Any], cfg: FluxStatic) -> None:
+    """Export + write to a safetensors file any FLUX LoRA consumer can load."""
+    from .utils.safetensors_io import save_safetensors
+
+    save_safetensors(str(path), export_lora_adapters(adapters, cfg))

@@ -85,6 +85,12 @@ class FluxStatic:
     # training 12B-scale models on 16GB chips. Inference-only paths are unaffected
     # (checkpoint is an autodiff construct; the primal computation is unchanged).
     remat: bool = False
+    # route quantized-activation kinds (fp8/int8/int4) through an on-the-fly
+    # weight-dequantize + bf16 matmul instead of the serving quantize path — the
+    # differentiable QLoRA training forward (the serving paths round/cast
+    # activations to int8/e5m2, which has no gradient wrt x). Inference configs
+    # keep this off.
+    dequant_linears: bool = False
 
     @classmethod
     def from_params(
@@ -310,12 +316,15 @@ def quantize_flux_tree(
 class _Tape:
     """Collects per-layer input amaxes during calibration passes."""
 
-    def __init__(self, collect: bool):
+    def __init__(self, collect: bool, dequant: bool = False):
         self.collect = collect
+        self.dequant = dequant
         self.amaxes: Dict[str, jnp.ndarray] = {}
 
     def lin(self, name: str, lin: Linear, x: jnp.ndarray, dtype) -> jnp.ndarray:
-        out, amax = linear_apply(lin, x, dtype, collect_amax=self.collect)
+        out, amax = linear_apply(
+            lin, x, dtype, collect_amax=self.collect, dequant=self.dequant
+        )
         if self.collect:
             self.amaxes[name] = amax
         return out
@@ -509,7 +518,7 @@ def flux_apply(
     if img.ndim != 3 or txt.ndim != 3:
         raise ValueError("Input img and txt tensors must have 3 dimensions.")
     dtype = cfg.dtype
-    tape = _Tape(collect_amax)
+    tape = _Tape(collect_amax, cfg.dequant_linears)
     txt_len = txt.shape[1]
 
     img = tape.lin("img_in", params["img_in"], img.astype(dtype), dtype)
@@ -538,12 +547,12 @@ def flux_apply(
 
     def double_body(carry, blk):
         img, txt = carry
-        block_tape = _Tape(collect_amax)
+        block_tape = _Tape(collect_amax, cfg.dequant_linears)
         img, txt = _double_block(cfg, blk, img, txt, vec_silu, cos, sin, block_tape)
         return (img, txt), (block_tape.amaxes if collect_amax else None)
 
     def single_body(x, blk):
-        block_tape = _Tape(collect_amax)
+        block_tape = _Tape(collect_amax, cfg.dequant_linears)
         x = _single_block(cfg, blk, x, vec_silu, cos, sin, block_tape)
         return x, (block_tape.amaxes if collect_amax else None)
 

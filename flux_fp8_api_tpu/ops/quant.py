@@ -68,7 +68,10 @@ def to_fp8_saturated(x: jnp.ndarray, scale: jnp.ndarray, max_val: float) -> jnp.
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["kernel", "q", "w_scale", "w_scale_inv", "in_scale", "in_scale_inv", "bias"],
+    data_fields=[
+        "kernel", "q", "w_scale", "w_scale_inv", "in_scale", "in_scale_inv", "bias",
+        "lora_a", "lora_b",
+    ],
     meta_fields=["kind"],
 )
 @dataclasses.dataclass
@@ -82,6 +85,13 @@ class Linear:
 
     Kernels are stored (in_features, out_features) — JAX convention, contiguous for
     ``x @ W`` on the MXU — transposed from torch's (out, in) at checkpoint load.
+
+    ``lora_a`` (in, r) / ``lora_b`` (r, out) are *live* low-rank adapters applied as
+    an additive side branch in :func:`linear_apply` — the QLoRA-style training path
+    (lora.py init/merge, parallel/train.py make_lora_train_step), where the frozen
+    quantized base stays untouched and only a/b carry gradients. Serving params keep
+    them None (LoRAs fuse into the weights instead, lora.py:fuse_lora — the
+    reference's apply_lora_to_model semantics, lora_loading.py:634-693).
     """
 
     kernel: Optional[jnp.ndarray] = None
@@ -91,6 +101,8 @@ class Linear:
     in_scale: Optional[jnp.ndarray] = None
     in_scale_inv: Optional[jnp.ndarray] = None
     bias: Optional[jnp.ndarray] = None
+    lora_a: Optional[jnp.ndarray] = None
+    lora_b: Optional[jnp.ndarray] = None
     kind: str = "float"
 
     @property
@@ -471,6 +483,7 @@ def linear_apply(
     x: jnp.ndarray,
     compute_dtype: jnp.dtype = jnp.bfloat16,
     collect_amax: bool = False,
+    dequant: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Apply a linear layer; optionally also return max|x| for scale calibration.
 
@@ -479,9 +492,46 @@ def linear_apply(
     both scale reciprocals, add bias. Accumulation is fp32 (vs the reference's
     `use_fast_accum=True` reduced-precision accumulate — strictly tighter numerics).
 
+    ``dequant=True`` routes the quantized-*activation* kinds (fp8/int8/int4) through
+    an on-the-fly weight-dequantize + bf16 matmul instead — the QLoRA-style training
+    forward. The serving kinds round/cast activations to int8/e5m2, which has a
+    zero/undefined gradient wrt x, so backprop through a frozen quantized base needs
+    this differentiable path; it is also what QLoRA itself does (dequantize NF4 →
+    bf16 GEMM). Weight-only kinds already compute this way.
+
+    ``lin.lora_a``/``lora_b`` (when set) add the low-rank side branch
+    ``(x @ A) @ B`` — gradients reach A/B regardless of the base kind.
+
     Returns (out, amax) with amax=None unless ``collect_amax``.
     """
     amax = jnp.max(jnp.abs(x)).astype(jnp.float32) if collect_amax else None
+    out = _linear_base(lin, x, compute_dtype, dequant)
+    if lin.lora_a is not None:
+        h = jnp.dot(
+            x.astype(compute_dtype),
+            lin.lora_a.astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(compute_dtype)
+        delta = jnp.dot(
+            h, lin.lora_b.astype(compute_dtype), preferred_element_type=jnp.float32
+        )
+        out = out + delta.astype(out.dtype)
+    return out, amax
+
+
+def _linear_base(
+    lin: Linear, x: jnp.ndarray, compute_dtype: jnp.dtype, dequant: bool
+) -> jnp.ndarray:
+    if dequant and lin.kind in ("fp8", "int8", "int4"):
+        # differentiable QLoRA forward: dequantized weights, full-precision
+        # activations. (in,out)·(out,) broadcasting covers both the fp8 scalar and
+        # the int8/int4 per-out-channel w_scale_inv layouts.
+        q = _unpack_int4(lin.q) if lin.kind == "int4" else lin.q
+        k = q.astype(compute_dtype) * lin.w_scale_inv.astype(compute_dtype)
+        out = jnp.dot(x.astype(compute_dtype), k, preferred_element_type=jnp.float32)
+        if lin.bias is not None:
+            out = out + lin.bias.astype(jnp.float32)
+        return out.astype(compute_dtype)
 
     if lin.kind == "float":
         out = jnp.dot(
@@ -491,7 +541,7 @@ def linear_apply(
         )
         if lin.bias is not None:
             out = out + lin.bias.astype(jnp.float32)
-        return out.astype(compute_dtype), amax
+        return out.astype(compute_dtype)
 
     if lin.kind == "fp8":
         x8 = to_fp8_saturated(x.astype(jnp.float32), lin.in_scale, F8_INPUT_MAX).astype(
@@ -507,7 +557,7 @@ def linear_apply(
         out = out * (lin.in_scale_inv * lin.w_scale_inv)
         if lin.bias is not None:
             out = out + lin.bias.astype(jnp.float32)
-        return out.astype(compute_dtype), amax
+        return out.astype(compute_dtype)
 
     if lin.kind == "int8":
         # quantize the activation in bf16: products ≤127 in magnitude are exactly
@@ -529,7 +579,7 @@ def linear_apply(
         out = out.astype(jnp.float32) * ((1.0 / sc.astype(jnp.float32)) * lin.w_scale_inv)
         if lin.bias is not None:
             out = out + lin.bias.astype(jnp.float32)
-        return out.astype(compute_dtype), amax
+        return out.astype(compute_dtype)
 
     if lin.kind == "int4":
         # gigaquant flow tier: nibble-unpack onto the int8 grid (values already in
@@ -549,7 +599,7 @@ def linear_apply(
         out = out.astype(jnp.float32) * ((1.0 / sc.astype(jnp.float32)) * lin.w_scale_inv)
         if lin.bias is not None:
             out = out + lin.bias.astype(jnp.float32)
-        return out.astype(compute_dtype), amax
+        return out.astype(compute_dtype)
 
     if lin.kind in ("wo_fp8", "wo_int8"):
         # weight-only: dequantize the kernel into the compute dtype, full-precision
@@ -558,7 +608,7 @@ def linear_apply(
         out = jnp.dot(x.astype(compute_dtype), k, preferred_element_type=jnp.float32)
         if lin.bias is not None:
             out = out + lin.bias.astype(jnp.float32)
-        return out.astype(compute_dtype), amax
+        return out.astype(compute_dtype)
 
     if lin.kind in ("wo_int4", "wo_int2"):
         bits = 4 if lin.kind == "wo_int4" else 2
@@ -566,6 +616,6 @@ def linear_apply(
         out = jnp.dot(x.astype(compute_dtype), k, preferred_element_type=jnp.float32)
         if lin.bias is not None:
             out = out + lin.bias.astype(jnp.float32)
-        return out.astype(compute_dtype), amax
+        return out.astype(compute_dtype)
 
     raise ValueError(f"unknown Linear kind {lin.kind}")

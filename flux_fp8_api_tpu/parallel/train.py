@@ -171,3 +171,50 @@ def restore_train_state(path, params_template, opt_state_template):
             },
         )
     return restored["params"], restored["opt_state"], restored["step"]
+
+
+# ----------------------------------------------------------- LoRA fine-tuning (QLoRA)
+
+
+def make_lora_train_step(cfg: FluxStatic, optimizer, remat: bool = True):
+    """QLoRA-style adapter training: frozen (typically quantized) base, gradients
+    only into the rank-r adapters → (init_fn, step_fn) with
+    ``step_fn(adapters, opt_state, base_params, batch, key) ->
+    (adapters, opt_state, loss)``.
+
+    This is the configuration that makes *training flux-dev on one 16GB chip*
+    possible at all: the base stays int8/fp8/int4 (6-12GB, byte-identical
+    throughout), adapters+moments are ~300MB at rank 16, and ``remat`` recomputes
+    block activations. Forwards run the differentiable dequantize path
+    (``FluxStatic.dequant_linears`` — the serving paths' activation round/cast has
+    no gradient); adapters apply as the ``(x@A)@B`` side branch in linear_apply.
+    Only ``adapters`` and ``opt_state`` are donated — the frozen base buffers are
+    reused across every step by construction.
+
+    The result of training round-trips into serving via
+    ``lora.save_lora_adapters`` (kohya-format export) → ``pipeline.load_lora``."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        cfg,
+        use_pallas=False,
+        attn_shard_axes=None,
+        attn_seq_axis=None,
+        remat=remat,
+        dequant_linears=True,
+    )
+
+    def loss_fn(adapters, base_params, batch, key):
+        from ..lora import merge_lora_adapters
+
+        return flow_matching_loss(merge_lora_adapters(base_params, adapters), cfg, batch, key)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step(adapters, opt_state, base_params, batch, key):
+        loss, grads = jax.value_and_grad(loss_fn)(adapters, base_params, batch, key)
+        updates, opt_state = optimizer.update(grads, opt_state, adapters)
+        import optax
+
+        return optax.apply_updates(adapters, updates), opt_state, loss
+
+    return optimizer.init, step
