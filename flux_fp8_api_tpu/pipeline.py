@@ -459,6 +459,26 @@ class FluxPipeline:
             x = t * x + (1.0 - t) * z
         return x, timesteps
 
+    def embed_text(self, prompt: str, num_images: int = 1):
+        """→ (clip vec (N, vec_in_dim), t5 txt (N, L, ctx_dim)) with the emphasis
+        grammar applied and text-encoder offload handled — the single-prompt text
+        path of :meth:`prepare`, exposed for callers that batch their own latents
+        (e.g. the LoRA trainer's dataset encoder, train_lora.py)."""
+        if self.offload_text_encoder:
+            self.clip.to_device()
+            self.t5.to_device()
+        vec, txt = get_weighted_text_embeddings(
+            self.clip,
+            self.t5,
+            prompt,
+            num_images_per_prompt=num_images,
+            t5_length=self.config.text_enc_max_length,
+        )
+        if self.offload_text_encoder:
+            self.clip.to_host()
+            self.t5.to_host()
+        return vec, txt
+
     def prepare(self, img: jnp.ndarray, prompt: Union[str, List[str]]):
         """Pack latents, build id grids, embed text (reference flux_pipeline.py:233-312)."""
         bs, c, h, w = img.shape

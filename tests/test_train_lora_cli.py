@@ -1,0 +1,75 @@
+"""End-to-end LoRA trainer CLI: images+captions dir → train → kohya file → reload.
+
+Covers train_lora.py's full surface on the tiny CPU config: dataset listing (caption
+conventions), VAE/T5/CLIP pre-encode through the pipeline's own jits, the QLoRA train
+loop, and that the written file round-trips into pipeline.load_lora.
+"""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+from PIL import Image
+
+from flux_fp8_api_tpu.train_lora import list_examples, train
+
+CONFIG = os.path.join(os.path.dirname(__file__), "..", "configs", "config-tiny-cpu.json")
+
+
+@pytest.fixture(scope="module")
+def dataset_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("lora_data")
+    rng = np.random.default_rng(0)
+    for i, stem in enumerate(["red_fox", "blue_bird"]):
+        arr = rng.integers(0, 255, (80, 96, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(d / f"{stem}.png")
+    # one explicit caption file, one filename-stem fallback
+    (d / "red_fox.txt").write_text("a (red:1.2) fox in snow")
+    return str(d)
+
+
+class TestDatasetListing:
+    def test_caption_sources(self, dataset_dir):
+        pairs = list_examples(dataset_dir)
+        assert len(pairs) == 2
+        by_stem = {os.path.basename(p): c for p, c in pairs}
+        assert by_stem["blue_bird.png"] == "blue bird"  # filename fallback
+        assert by_stem["red_fox.png"] == "a (red:1.2) fox in snow"  # .txt wins
+
+    def test_empty_dir_raises(self, tmp_path):
+        with pytest.raises(ValueError, match="no images"):
+            list_examples(str(tmp_path))
+
+
+class TestTrainerCli:
+    def test_train_and_reload(self, dataset_dir, tmp_path):
+        out = str(tmp_path / "tiny_lora.safetensors")
+        result = train([
+            "--config-path", CONFIG,
+            "--data-dir", dataset_dir,
+            "--output", out,
+            "--rank", "2",
+            "--steps", "3",
+            "--lr", "1e-3",
+            "--batch-size", "2",
+            "--width", "64",
+            "--height", "64",
+            "--save-every", "2",
+        ])
+        assert result == out and os.path.exists(out)
+
+        # the exported file loads through the serving LoRA path and changes pixels
+        from flux_fp8_api_tpu.pipeline import FluxPipeline
+
+        pipe = FluxPipeline.load_pipeline_from_config_path(CONFIG)
+        img_before = pipe.generate(
+            prompt="a red fox", width=64, height=64, num_steps=1, seed=7, silent=True
+        )
+        b_before = img_before.getvalue() if hasattr(img_before, "getvalue") else img_before
+        pipe.load_lora(out, scale=1.0)
+        img_after = pipe.generate(
+            prompt="a red fox", width=64, height=64, num_steps=1, seed=7, silent=True
+        )
+        b_after = img_after.getvalue() if hasattr(img_after, "getvalue") else img_after
+        assert b_before != b_after  # trained (nonzero-b after 3 steps) adapters took effect
