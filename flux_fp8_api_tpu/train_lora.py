@@ -58,6 +58,19 @@ def parse_args(argv=None):
     p.add_argument("--no-remat", action="store_true",
                    help="Disable per-block gradient rematerialization (faster per "
                         "step, ~1.6GB·batch more activation memory at dev scale)")
+    p.add_argument("--state-dir", type=str, default=None,
+                   help="Orbax train-state directory: {adapters, opt_state, step} "
+                        "saved alongside every export and restored at startup when "
+                        "present — interrupted runs resume exactly")
+    p.add_argument("--val-every", type=int, default=0,
+                   help="Every N steps, report loss on a held-out example (needs "
+                        ">=4 examples; 0 = off). Uses a FIXED timestep/noise draw so "
+                        "the number is comparable across evals")
+    p.add_argument("--t-sampling", choices=["logit_normal", "uniform"],
+                   default="logit_normal",
+                   help="Timestep density: logit_normal (default; SD3/FLUX training "
+                        "density, resolution-shifted like the sampler schedule) or "
+                        "uniform")
     return p.parse_args(argv)
 
 
@@ -149,19 +162,65 @@ def train(argv=None) -> Optional[str]:
     data = encode_dataset(pipe, pairs, args.width, args.height, k_data)
     n = data["latents"].shape[0]
 
+    # hold out one example for validation when asked and the set is big enough
+    val_idx = None
+    if args.val_every and n >= 4:
+        val_idx = n - 1
+        n -= 1
+    elif args.val_every:
+        logger.warning("--val-every needs >=4 examples; validation disabled")
+
     adapters = init_lora_adapters(base, rank=args.rank, key=k_init)
     init_fn, step = make_lora_train_step(
         cfg, optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(args.lr)),
-        remat=not args.no_remat,
+        remat=not args.no_remat, t_sampling=args.t_sampling,
     )
     opt_state = init_fn(adapters)
+
+    start_step = 0
+    if args.state_dir and os.path.isdir(args.state_dir):
+        from .parallel.train import restore_train_state
+
+        adapters, opt_state, start_step = restore_train_state(
+            os.path.abspath(args.state_dir), adapters, opt_state
+        )
+        logger.info(f"resumed train state from {args.state_dir} @ step {start_step}")
+
+    val_loss_fn = None
+    if val_idx is not None:
+        from .parallel.train import flow_matching_loss as _fml
+        import dataclasses as _dc
+
+        vcfg = _dc.replace(
+            cfg, use_pallas=False, attn_shard_axes=None, attn_seq_axis=None,
+            dequant_linears=True,
+        )
+        from .lora import merge_lora_adapters
+
+        vbatch = {k: jnp.asarray(v[val_idx:val_idx + 1]) for k, v in data.items()}
+        vkey = jax.random.PRNGKey(args.seed + 1)  # FIXED t/noise draw across evals
+
+        @jax.jit
+        def val_loss_fn(adapters):
+            return _fml(
+                merge_lora_adapters(base, adapters), vcfg, vbatch, vkey, args.t_sampling
+            )
 
     bs = max(1, min(args.batch_size, n))
     rng = np.random.default_rng(args.seed)
     order = rng.permutation(n)
     cursor = 0
+    # Fast-forward the data order and PRNG stream to the restored step so a
+    # resumed run draws the same (batch, noise, timestep) sequence an
+    # uninterrupted one would — resume is a continuation, not a replay.
+    for _ in range(start_step):
+        if cursor + bs > n:
+            order = rng.permutation(n)
+            cursor = 0
+        cursor += bs
+        key, _ = jax.random.split(key)
     ema_loss = None
-    for it in range(args.steps):
+    for it in range(start_step, args.steps):
         if cursor + bs > n:
             order = rng.permutation(n)
             cursor = 0
@@ -172,15 +231,31 @@ def train(argv=None) -> Optional[str]:
         adapters, opt_state, loss = step(adapters, opt_state, base, batch, k_step)
         loss_val = float(loss)
         ema_loss = loss_val if ema_loss is None else 0.98 * ema_loss + 0.02 * loss_val
-        if (it + 1) % 10 == 0 or it == 0:
+        if (it + 1) % 10 == 0 or it == start_step:
             logger.info(f"step {it + 1}/{args.steps}  loss {loss_val:.4f}  ema {ema_loss:.4f}")
+        if val_loss_fn is not None and args.val_every and (it + 1) % args.val_every == 0:
+            logger.info(f"step {it + 1}  val loss {float(val_loss_fn(adapters)):.4f}")
         if args.save_every and (it + 1) % args.save_every == 0:
             save_lora_adapters(args.output, adapters, cfg)
+            if args.state_dir:
+                from .parallel.train import save_train_state
+
+                save_train_state(
+                    os.path.abspath(args.state_dir), adapters, opt_state, it + 1,
+                    overwrite=True,
+                )
             logger.info(f"checkpointed adapters to {args.output} @ step {it + 1}")
 
     save_lora_adapters(args.output, adapters, cfg)
+    if args.state_dir:
+        from .parallel.train import save_train_state
+
+        save_train_state(
+            os.path.abspath(args.state_dir), adapters, opt_state, args.steps, overwrite=True
+        )
+    ema_note = f", final ema loss {ema_loss:.4f}" if ema_loss is not None else ""
     logger.success(
-        f"LoRA (rank {args.rank}, {args.steps} steps, final ema loss {ema_loss:.4f}) "
+        f"LoRA (rank {args.rank}, {args.steps} steps{ema_note}) "
         f"written to {args.output} — load with pipeline.load_lora or the /lora endpoint"
     )
     return args.output

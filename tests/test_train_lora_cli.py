@@ -73,3 +73,26 @@ class TestTrainerCli:
         )
         b_after = img_after.getvalue() if hasattr(img_after, "getvalue") else img_after
         assert b_before != b_after  # trained (nonzero-b after 3 steps) adapters took effect
+
+    def test_resume_and_validation(self, tmp_path):
+        """--state-dir resumes exactly (step counter restored, loop continues from
+        it); --val-every reports a held-out loss. Uses a 5-image set so the
+        validation holdout engages."""
+        rng = np.random.default_rng(1)
+        d = tmp_path / "data"
+        d.mkdir()
+        for i in range(5):
+            arr = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(d / f"item_{i}.png")
+        out = str(tmp_path / "lora.safetensors")
+        state = str(tmp_path / "state")
+        common = [
+            "--config-path", CONFIG, "--data-dir", str(d), "--output", out,
+            "--rank", "2", "--lr", "1e-3", "--width", "64", "--height", "64",
+            "--state-dir", state, "--val-every", "2",
+        ]
+        train(common + ["--steps", "2", "--save-every", "2"])
+        assert os.path.isdir(state)
+        # resume: start_step=2 == steps → loop is skipped, artifacts rewritten
+        train(common + ["--steps", "2"])
+        assert os.path.exists(out)
