@@ -26,6 +26,18 @@ tiny (B, 6·hs) all-gather of each modulation vector (modulation stays
 column-sharded for its ~2.6GB/chip of weights; its M=batch GEMM output is KBs).
 tests/test_parallel.py pins the exact HLO collective budget so a layout
 regression cannot land silently.
+
+AXES DELIBERATELY NOT IMPLEMENTED: expert parallelism (ep) has no target — FLUX is
+dense, no MoE anywhere in the family. Pipeline parallelism (pp) loses to the axes we
+do ship on this model at every reachable scale: the double stack's depth is 19
+(prime — no uniform SPMD stage partition without padding or splitting mid-stack),
+dp/tp/sp already scale the three real resources (throughput, memory, sequence)
+over ICI where FLUX's 4.6k-token steps live, and GPipe bubbles cost
+2·(S−1)/(M+S−1) on a serving workload whose natural microbatch count is 1. The
+reference's coarse analog (per-model device placement) is implemented as such
+(pipeline.py device fields). If multi-pod DCN training ever matters, pp slots in
+as a fourth mesh axis over the single stack (38 = 2·19) without touching the
+sharding rules here.
 """
 
 from __future__ import annotations

@@ -21,19 +21,45 @@ from ..models.flux import FluxStatic, flux_apply
 from ..ops.packing import make_img_ids, make_txt_ids
 
 
+def sample_timesteps(key: jax.Array, batch: int, image_seq_len: int, t_sampling: str):
+    """Draw per-example flow times t ∈ (0,1) under the chosen density.
+
+    "uniform": t ~ U(0,1). "logit_normal": t = σ(N(0,1)) warped by the sampler's
+    own resolution shift (ops/schedule.py:time_shift with σ=1, mu from
+    ``get_lin_function(image_seq_len)``) — the SD3/FLUX training density."""
+    if t_sampling == "logit_normal":
+        import math
+
+        from ..ops.schedule import get_lin_function
+
+        t = jax.nn.sigmoid(jax.random.normal(key, (batch,), jnp.float32))
+        em = math.exp(get_lin_function()(image_seq_len))  # static at trace time
+        return em * t / (em * t + (1.0 - t))  # time_shift(mu, 1, t) in jax form
+    if t_sampling == "uniform":
+        return jax.random.uniform(key, (batch,), jnp.float32)
+    raise ValueError(f"unknown t_sampling {t_sampling!r} (uniform|logit_normal)")
+
+
 def flow_matching_loss(
     params: Dict[str, Any],
     cfg: FluxStatic,
     batch: Dict[str, jnp.ndarray],
     key: jax.Array,
+    t_sampling: str = "uniform",
 ) -> jnp.ndarray:
-    """Rectified-flow MSE: x_t = (1-t)·x₀ + t·ε, target v = ε − x₀."""
+    """Rectified-flow MSE: x_t = (1-t)·x₀ + t·ε, target v = ε − x₀.
+
+    ``t_sampling``: "uniform" draws t ~ U(0,1); "logit_normal" draws
+    t = σ(N(0,1)) warped by the same resolution-aware shift the sampler's
+    schedule uses (ops/schedule.py:time_shift with σ=1, mu from the image seq
+    length) — the SD3/FLUX training density, which concentrates steps where the
+    velocity target is hardest instead of wasting batches near t≈0/1."""
     x0 = batch["latents"]  # (B, L, C) packed clean latents
     txt = batch["txt"]
     y = batch["y"]
     b = x0.shape[0]
     k_t, k_eps = jax.random.split(key)
-    t = jax.random.uniform(k_t, (b,), jnp.float32)
+    t = sample_timesteps(k_t, b, x0.shape[1], t_sampling)
     eps = jax.random.normal(k_eps, x0.shape, jnp.float32).astype(x0.dtype)
     t_b = t.astype(x0.dtype)[:, None, None]
     x_t = (1.0 - t_b) * x0 + t_b * eps
@@ -54,7 +80,9 @@ def sgd_update(params, grads, lr: float = 1e-4):
     )
 
 
-def make_optax_train_step(cfg: FluxStatic, optimizer, remat: bool = True):
+def make_optax_train_step(
+    cfg: FluxStatic, optimizer, remat: bool = True, t_sampling: str = "uniform"
+):
     """Train step with a real optimizer: → (init_fn, step_fn) where
     ``init_fn(params) -> opt_state`` and
     ``step_fn(params, opt_state, batch, key) -> (params, opt_state, loss)``.
@@ -74,7 +102,9 @@ def make_optax_train_step(cfg: FluxStatic, optimizer, remat: bool = True):
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, batch, key):
-        loss, grads = jax.value_and_grad(flow_matching_loss)(params, cfg, batch, key)
+        loss, grads = jax.value_and_grad(flow_matching_loss)(
+            params, cfg, batch, key, t_sampling
+        )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         import optax
 
@@ -133,15 +163,18 @@ def make_dummy_batch(cfg: FluxStatic, batch: int, h_latent: int, w_latent: int, 
 # and restores onto whatever mesh layout the template carries.
 
 
-def save_train_state(path, params, opt_state, step: int) -> None:
+def save_train_state(path, params, opt_state, step: int, overwrite: bool = False) -> None:
     """Write {params, opt_state, step} to ``path`` (a directory) via orbax.
 
-    Works for single-device and mesh-sharded trees alike; safe to call every N
-    steps (each call is a fresh atomic directory write)."""
+    Works for single-device and mesh-sharded trees alike; each call is a fresh
+    atomic directory write. ``overwrite=True`` replaces an existing checkpoint at
+    the same path (the single-rolling-checkpoint pattern the LoRA trainer uses)."""
     import orbax.checkpoint as ocp
 
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path, {"params": params, "opt_state": opt_state, "step": step})
+        ckptr.save(
+            path, {"params": params, "opt_state": opt_state, "step": step}, force=overwrite
+        )
 
 
 def restore_train_state(path, params_template, opt_state_template):
@@ -176,7 +209,9 @@ def restore_train_state(path, params_template, opt_state_template):
 # ----------------------------------------------------------- LoRA fine-tuning (QLoRA)
 
 
-def make_lora_train_step(cfg: FluxStatic, optimizer, remat: bool = True):
+def make_lora_train_step(
+    cfg: FluxStatic, optimizer, remat: bool = True, t_sampling: str = "uniform"
+):
     """QLoRA-style adapter training: frozen (typically quantized) base, gradients
     only into the rank-r adapters → (init_fn, step_fn) with
     ``step_fn(adapters, opt_state, base_params, batch, key) ->
@@ -207,7 +242,9 @@ def make_lora_train_step(cfg: FluxStatic, optimizer, remat: bool = True):
     def loss_fn(adapters, base_params, batch, key):
         from ..lora import merge_lora_adapters
 
-        return flow_matching_loss(merge_lora_adapters(base_params, adapters), cfg, batch, key)
+        return flow_matching_loss(
+            merge_lora_adapters(base_params, adapters), cfg, batch, key, t_sampling
+        )
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def step(adapters, opt_state, base_params, batch, key):

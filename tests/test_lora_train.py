@@ -220,3 +220,50 @@ class TestExportRoundTrip:
             jnp.max(jnp.abs(out_fused - out_merged)) / (jnp.max(jnp.abs(out_merged)) + 1e-9)
         )
         assert rel < 0.05, rel
+
+
+class TestTimestepSampling:
+    def test_logit_normal_matches_schedule_shift(self):
+        """sample_timesteps('logit_normal') == time_shift(mu(seq), 1, sigmoid(u)) —
+        the training density reuses the sampler's own resolution warp
+        (ops/schedule.py), so train-time t statistics match serving schedules."""
+        from flux_fp8_api_tpu.ops.schedule import get_lin_function, time_shift
+        from flux_fp8_api_tpu.parallel.train import sample_timesteps
+
+        key = jax.random.PRNGKey(3)
+        seq = 1024
+        t = np.asarray(sample_timesteps(key, 4096, seq, "logit_normal"))
+        raw = jax.nn.sigmoid(jax.random.normal(key, (4096,), jnp.float32))
+        expect = time_shift(get_lin_function()(seq), 1.0, np.asarray(raw))
+        np.testing.assert_allclose(t, expect, rtol=2e-5)
+        assert 0.0 < t.min() and t.max() < 1.0
+        # the shift (mu(1024) > 0) pushes mass toward t=1 vs the raw sigmoid draw
+        assert t.mean() > float(np.asarray(raw).mean())
+
+    def test_uniform_and_unknown(self):
+        from flux_fp8_api_tpu.parallel.train import sample_timesteps
+
+        t = np.asarray(sample_timesteps(jax.random.PRNGKey(0), 512, 256, "uniform"))
+        assert 0.0 <= t.min() and t.max() < 1.0 and 0.3 < t.mean() < 0.7
+        with pytest.raises(ValueError):
+            sample_timesteps(jax.random.PRNGKey(0), 4, 256, "nope")
+
+    def test_train_step_with_logit_normal(self):
+        """A lora train step built with t_sampling='logit_normal' runs and learns."""
+        cfg = _cfg()
+        key = jax.random.PRNGKey(11)
+        params = quantize_flux_tree(init_flux_params(key, cfg, jnp.float32), "int8")
+        adapters = init_lora_adapters(params, rank=2, key=jax.random.PRNGKey(1))
+        init_fn, step = make_lora_train_step(
+            cfg, optax.adamw(1e-3), t_sampling="logit_normal"
+        )
+        opt_state = init_fn(adapters)
+        batch = make_dummy_batch(cfg, 2, 8, 8, 16, jax.random.PRNGKey(2))
+        losses = []
+        for i in range(6):
+            adapters, opt_state, loss = step(
+                adapters, opt_state, params, batch, jax.random.PRNGKey(100 + i)
+            )
+            losses.append(float(loss))
+        assert np.isfinite(losses).all()
+        assert min(losses[3:]) < losses[0]
