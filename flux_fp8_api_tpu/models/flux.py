@@ -502,6 +502,7 @@ def flux_apply(
     y: jnp.ndarray,
     guidance: Optional[jnp.ndarray] = None,
     collect_amax: bool = False,
+    stack_runner=None,
 ):
     """Full forward (reference ``Flux.forward``, flux_model.py:672-716).
 
@@ -511,6 +512,11 @@ def flux_apply(
       txt: (B, L_txt, context_in_dim) T5 embeddings.
       timesteps: (B,). y: (B, vec_in_dim) CLIP vector. guidance: (B,) or None.
       collect_amax: also return the pytree of per-linear input amaxes (calibration).
+      stack_runner: optional strategy for running the two block stacks —
+        ``runner(body, carry, blocks, extras) -> (carry, ys)`` where
+        ``body(carry, blk, extras) -> (carry, y)``. None = lax.scan (single-chip
+        and dp/tp/sp meshes); :func:`~..parallel.pp.make_pp_runner` pipelines the
+        stacks over a "pp" mesh axis.
 
     Returns:
       (B, L_img, in_channels) prediction — or (pred, amax_tree) when collect_amax.
@@ -545,30 +551,42 @@ def flux_apply(
 
     vec_silu = silu(vec)  # every Modulation starts with SiLU(vec) (flux_model.py:252)
 
-    def double_body(carry, blk):
+    # Block-stack bodies take the per-example conditioning ("extras") explicitly so a
+    # stack_runner can re-slice it per microbatch (parallel/pp.py pipelines the stacks
+    # over a "pp" mesh axis); the default runner is the plain lax.scan used everywhere
+    # else, with extras closed over exactly as before.
+    extras = (vec_silu, cos, sin)
+
+    def double_body(carry, blk, ex):
+        vs, cos_e, sin_e = ex
         img, txt = carry
         block_tape = _Tape(collect_amax, cfg.dequant_linears)
-        img, txt = _double_block(cfg, blk, img, txt, vec_silu, cos, sin, block_tape)
+        img, txt = _double_block(cfg, blk, img, txt, vs, cos_e, sin_e, block_tape)
         return (img, txt), (block_tape.amaxes if collect_amax else None)
 
-    def single_body(x, blk):
+    def single_body(x, blk, ex):
+        vs, cos_e, sin_e = ex
         block_tape = _Tape(collect_amax, cfg.dequant_linears)
-        x = _single_block(cfg, blk, x, vec_silu, cos, sin, block_tape)
+        x = _single_block(cfg, blk, x, vs, cos_e, sin_e, block_tape)
         return x, (block_tape.amaxes if collect_amax else None)
 
-    if cfg.remat:
-        # per-block rematerialization: the scan stores only each block's INPUT for
-        # the backward pass and recomputes the block body (parallel/train.py)
-        double_body = jax.checkpoint(double_body)
-        single_body = jax.checkpoint(single_body)
+    def _scan_runner(body, carry, blocks, ex):
+        f = lambda c, b: body(c, b, ex)
+        if cfg.remat:
+            # per-block rematerialization: the scan stores only each block's INPUT
+            # for the backward pass and recomputes the block body (parallel/train.py)
+            f = jax.checkpoint(f)
+        return jax.lax.scan(f, carry, blocks)
 
-    (img, txt), double_amaxes = jax.lax.scan(
-        double_body, (img, txt), params["double_blocks"]
+    runner = stack_runner or _scan_runner
+
+    (img, txt), double_amaxes = runner(
+        double_body, (img, txt), params["double_blocks"], extras
     )
 
     x = jnp.concatenate([txt, img], axis=1)
 
-    x, single_amaxes = jax.lax.scan(single_body, x, params["single_blocks"])
+    x, single_amaxes = runner(single_body, x, params["single_blocks"], extras)
 
     img = x[:, txt_len:]
 

@@ -27,17 +27,17 @@ column-sharded for its ~2.6GB/chip of weights; its M=batch GEMM output is KBs).
 tests/test_parallel.py pins the exact HLO collective budget so a layout
 regression cannot land silently.
 
-AXES DELIBERATELY NOT IMPLEMENTED: expert parallelism (ep) has no target — FLUX is
-dense, no MoE anywhere in the family. Pipeline parallelism (pp) loses to the axes we
-do ship on this model at every reachable scale: the double stack's depth is 19
-(prime — no uniform SPMD stage partition without padding or splitting mid-stack),
-dp/tp/sp already scale the three real resources (throughput, memory, sequence)
-over ICI where FLUX's 4.6k-token steps live, and GPipe bubbles cost
-2·(S−1)/(M+S−1) on a serving workload whose natural microbatch count is 1. The
-reference's coarse analog (per-model device placement) is implemented as such
-(pipeline.py device fields). If multi-pod DCN training ever matters, pp slots in
-as a fourth mesh axis over the single stack (38 = 2·19) without touching the
-sharding rules here.
+AXES: expert parallelism (ep) has no target — FLUX is dense, no MoE anywhere in the
+family. Pipeline parallelism (pp) is implemented (parallel/pp.py: GPipe-as-SPMD over
+the depth-stacked block axis, shard_map + ppermute, differentiable) but is a
+TRAINING axis, not a serving one: dp/tp/sp scale the three real serving resources
+(throughput, memory, sequence) over ICI where FLUX's 4.6k-token steps live, and
+GPipe bubbles cost (S−1)/(M+S−1) on a serving workload whose natural microbatch
+count is 1. A stack pipelines only when the pp size divides its depth — flux-dev's
+single stack (38 = 2·19) shards on pp ∈ {2, 19, 38}; the prime 19-deep double stack
+falls back to a replicated scan (``flux_param_shardings(pp_axis=...)`` applies the
+same rule to the param placement). The reference's coarse analog (per-model device
+placement) is implemented as such (pipeline.py device fields).
 """
 
 from __future__ import annotations
@@ -79,10 +79,11 @@ def make_mesh(shape: Dict[str, int], devices=None) -> Mesh:
     return Mesh(dev_array, tuple(shape.keys()))
 
 
-def _linear_spec(kind: str, stacked: bool, tp: Optional[str]):
+def _linear_spec(kind: str, stacked: bool, tp: Optional[str], pp: Optional[str] = None):
     """PartitionSpecs for one Linear leaf's fields. kernel/q layout is (in, out)
-    (+ leading depth when stacked)."""
-    lead = (None,) if stacked else ()
+    (+ leading depth when stacked; the depth axis shards over ``pp`` when given —
+    pipeline stages each hold their contiguous slice of the block stack)."""
+    lead = (pp,) if stacked else ()
     if tp is None or kind == "rep":
         kspec = P(*lead, None, None)
         ospec = P(*lead, None)
@@ -107,16 +108,25 @@ def _linear_spec(kind: str, stacked: bool, tp: Optional[str]):
 
 
 def flux_param_shardings(
-    params: Dict[str, Any], mesh: Mesh, tp_axis: Optional[str] = "tp"
+    params: Dict[str, Any],
+    mesh: Mesh,
+    tp_axis: Optional[str] = "tp",
+    pp_axis: Optional[str] = None,
 ) -> Dict[str, Any]:
-    """Sharding pytree matching a flux param tree (works for float and quantized)."""
+    """Sharding pytree matching a flux param tree (works for float and quantized).
+
+    ``pp_axis``: shard each block stack's leading depth axis over this mesh axis
+    (pipeline parallelism, parallel/pp.py) — applied per stack only when the pp size
+    divides that stack's depth (the 19-deep double stack falls back to replicated on
+    even pp sizes; the 38-deep single stack pipelines)."""
     tp = tp_axis if (tp_axis and tp_axis in mesh.axis_names) else None
+    pp = pp_axis if (pp_axis and pp_axis in mesh.axis_names and mesh.shape[pp_axis] > 1) else None
 
     def ns(spec: P) -> NamedSharding:
         return NamedSharding(mesh, spec)
 
-    def shard_linear(lin: Linear, kind: str, stacked: bool) -> Linear:
-        specs = _linear_spec(kind, stacked, tp)
+    def shard_linear(lin: Linear, kind: str, stacked: bool, lead: Optional[str] = None) -> Linear:
+        specs = _linear_spec(kind, stacked, tp, lead)
 
         def pick(field, val):
             if val is None:
@@ -164,20 +174,32 @@ def flux_param_shardings(
             }
     for stack in ("double_blocks", "single_blocks"):
         blocks = params[stack]
+        depth = jax.tree.leaves(blocks)[0].shape[0]
+        lead = pp if (pp and depth % mesh.shape[pp] == 0) else None
+
+        def stacked_like(tree, lead=lead):
+            return jax.tree.map(
+                lambda x: ns(P(lead, *([None] * (x.ndim - 1)))),
+                tree,
+                is_leaf=lambda x: x is None,
+            )
+
         out[stack] = {
             k: (
-                shard_linear(v, _BLOCK_LINEAR_KIND.get(k, "rep"), stacked=True)
+                shard_linear(v, _BLOCK_LINEAR_KIND.get(k, "rep"), stacked=True, lead=lead)
                 if isinstance(v, Linear)
-                else replicated_like(v)
+                else stacked_like(v)
             )
             for k, v in blocks.items()
         }
     return out
 
 
-def shard_flux_params(params: Dict[str, Any], mesh: Mesh, tp_axis: str = "tp"):
+def shard_flux_params(
+    params: Dict[str, Any], mesh: Mesh, tp_axis: str = "tp", pp_axis: Optional[str] = None
+):
     """Place a param tree onto the mesh per the TP rules."""
-    shardings = flux_param_shardings(params, mesh, tp_axis)
+    shardings = flux_param_shardings(params, mesh, tp_axis, pp_axis)
     return jax.tree.map(
         lambda x, s: x if s is None else jax.device_put(x, s),
         params,

@@ -46,6 +46,7 @@ def flow_matching_loss(
     batch: Dict[str, jnp.ndarray],
     key: jax.Array,
     t_sampling: str = "uniform",
+    stack_runner=None,
 ) -> jnp.ndarray:
     """Rectified-flow MSE: x_t = (1-t)·x₀ + t·ε, target v = ε − x₀.
 
@@ -67,7 +68,10 @@ def flow_matching_loss(
     img_ids = batch["img_ids"]
     txt_ids = batch["txt_ids"]
     guidance = jnp.full((b,), 1.0, jnp.float32) if cfg.guidance_embed else None
-    pred = flux_apply(params, cfg, x_t, img_ids, txt, txt_ids, t, y, guidance)
+    pred = flux_apply(
+        params, cfg, x_t, img_ids, txt, txt_ids, t, y, guidance,
+        stack_runner=stack_runner,
+    )
     target = eps - x0
     return jnp.mean((pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2)
 

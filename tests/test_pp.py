@@ -1,0 +1,185 @@
+"""Pipeline parallelism (parallel/pp.py) on the 8-device virtual CPU mesh.
+
+The pp axis is the framework's fourth parallelism axis (beyond the reference's
+per-model placement, SURVEY.md §2.2): GPipe-as-SPMD over the depth-stacked block
+axis via shard_map + ppermute, differentiable so jax.grad runs the reverse
+pipeline. These tests pin (a) forward equivalence to the plain lax.scan runner,
+(b) gradient equivalence — i.e. the backward pipeline is exactly the transposed
+schedule, (c) the replicated-scan fallback for stage-indivisible depths (flux-dev's
+prime 19-deep double stack), and (d) the degenerate M=1 schedule.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flux_fp8_api_tpu.models.flux import (
+    FluxStatic,
+    flux_apply,
+    init_flux_params,
+    quantize_flux_tree,
+)
+from flux_fp8_api_tpu.parallel.mesh import (
+    batch_sharding,
+    flux_param_shardings,
+    make_mesh,
+    shard_flux_params,
+)
+from flux_fp8_api_tpu.parallel.pp import make_pp_runner, make_pp_train_step
+from flux_fp8_api_tpu.parallel.train import flow_matching_loss, make_dummy_batch
+from flux_fp8_api_tpu.utils.config import FluxParams
+
+PARAMS = FluxParams(
+    in_channels=16, vec_in_dim=64, context_in_dim=96, hidden_size=128,
+    mlp_ratio=4.0, num_heads=4, depth=2, depth_single_blocks=4,
+    axes_dim=[8, 12, 12], theta=10_000, qkv_bias=True, guidance_embed=True,
+)
+
+
+def _cfg():
+    return FluxStatic.from_params(PARAMS, use_pallas=False)
+
+
+def _setup(B=4, dtype=jnp.float32):
+    cfg = _cfg()
+    params = init_flux_params(jax.random.PRNGKey(0), cfg, dtype)
+    batch = make_dummy_batch(cfg, B, 8, 8, 16, jax.random.PRNGKey(1))
+    args = (
+        batch["latents"], batch["img_ids"], batch["txt"], batch["txt_ids"],
+        jnp.full((B,), 0.5), batch["y"], jnp.full((B,), 3.5),
+    )
+    return cfg, params, batch, args
+
+
+class TestPPForward:
+    def test_forward_matches_scan_runner(self):
+        cfg, params, _, args = _setup()
+        ref = flux_apply(params, cfg, *args)
+
+        mesh = make_mesh({"dp": 2, "pp": 2}, jax.devices()[:4])
+        sharded = shard_flux_params(params, mesh, pp_axis="pp")
+        bshard = batch_sharding(mesh)
+        args_s = tuple(jax.device_put(a, bshard) for a in args)
+        runner = make_pp_runner(mesh, num_microbatches=2, dp_axis="dp")
+        out = jax.jit(flux_apply, static_argnames=("cfg", "stack_runner"))(
+            sharded, cfg, *args_s, stack_runner=runner
+        )
+        # per-example math is identical op-for-op (microbatching only regroups the
+        # batch dim), so fp32 params reproduce the scan runner exactly
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=1e-5
+        )
+
+    def test_pp4_single_microbatch(self):
+        # M=1 degenerates to sequential stages — the schedule's boundary case
+        cfg, params, _, args = _setup(B=2)
+        ref = flux_apply(params, cfg, *args)
+        mesh = make_mesh({"pp": 4}, jax.devices()[:4])
+        sharded = shard_flux_params(params, mesh, tp_axis=None, pp_axis="pp")
+        runner = make_pp_runner(mesh, num_microbatches=1)
+        out = jax.jit(flux_apply, static_argnames=("cfg", "stack_runner"))(
+            sharded, cfg, *args, stack_runner=runner
+        )
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=1e-5
+        )
+
+    def test_prime_depth_falls_back_to_replicated_scan(self):
+        # flux-dev's double stack is 19 deep (prime): on pp=2 it must run as a
+        # plain replicated scan while the single stack (divisible) pipelines
+        cfg, params, _, args = _setup(B=2)
+        ref = flux_apply(params, cfg, *args)
+        mesh = make_mesh({"pp": 4}, jax.devices()[:4])
+        # single stack depth 4 pipelines on pp=4; double depth 2 does not divide
+        sh = flux_param_shardings(params, mesh, tp_axis=None, pp_axis="pp")
+        assert sh["single_blocks"]["linear1"].kernel.spec[0] == "pp"
+        assert sh["double_blocks"]["img_attn_qkv"].kernel.spec[0] is None
+        sharded = shard_flux_params(params, mesh, tp_axis=None, pp_axis="pp")
+        runner = make_pp_runner(mesh, num_microbatches=2)
+        out = jax.jit(flux_apply, static_argnames=("cfg", "stack_runner"))(
+            sharded, cfg, *args, stack_runner=runner
+        )
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=1e-5
+        )
+
+    def test_quantized_params_pipeline(self):
+        # int8 per-block scales ride the pp depth sharding like the kernels do
+        cfg, params, _, args = _setup(B=2)
+        qparams = quantize_flux_tree(params, kind="int8")
+        ref = flux_apply(qparams, cfg, *args)
+        mesh = make_mesh({"pp": 2}, jax.devices()[:2])
+        sharded = shard_flux_params(qparams, mesh, tp_axis=None, pp_axis="pp")
+        runner = make_pp_runner(mesh, num_microbatches=2)
+        out = jax.jit(flux_apply, static_argnames=("cfg", "stack_runner"))(
+            sharded, cfg, *args, stack_runner=runner
+        )
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=1e-5
+        )
+
+
+class TestPPBackward:
+    def test_grads_match_scan_runner(self):
+        # the backward pipeline is jax.grad's transpose of the forward schedule —
+        # grads must equal the plain scan runner's. f32 compute so the only
+        # remaining difference is f32 reassociation (measured ~2e-7; bf16 compute
+        # amplifies eager-vs-jit fusion noise into the 1e-2 range and tests nothing)
+        import dataclasses
+
+        cfg, params, batch, _ = _setup()
+        cfg = dataclasses.replace(cfg, compute_dtype="float32")
+        key = jax.random.PRNGKey(3)
+
+        ref_loss, ref_grads = jax.jit(
+            jax.value_and_grad(flow_matching_loss), static_argnames=("cfg",)
+        )(params, cfg, batch, key)
+
+        mesh = make_mesh({"dp": 2, "pp": 2}, jax.devices()[:4])
+        sharded = shard_flux_params(params, mesh, pp_axis="pp")
+        bshard = batch_sharding(mesh)
+        batch_s = {k: jax.device_put(v, bshard) for k, v in batch.items()}
+        runner = make_pp_runner(mesh, num_microbatches=2, dp_axis="dp")
+
+        def loss_fn(p):
+            return flow_matching_loss(p, cfg, batch_s, key, stack_runner=runner)
+
+        loss, grads = jax.jit(jax.value_and_grad(loss_fn))(sharded)
+        np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+        flat_ref = jax.tree.leaves(ref_grads)
+        flat_pp = jax.tree.leaves(grads)
+        assert len(flat_ref) == len(flat_pp)
+        for a, b in zip(flat_ref, flat_pp):
+            np.testing.assert_allclose(
+                np.asarray(b, np.float32), np.asarray(a, np.float32),
+                atol=1e-5, rtol=1e-4,
+            )
+
+    def test_pp_train_step_runs_and_updates(self):
+        cfg, params, batch, _ = _setup()
+        mesh = make_mesh({"dp": 2, "pp": 2}, jax.devices()[:4])
+        sharded = shard_flux_params(params, mesh, pp_axis="pp")
+        bshard = batch_sharding(mesh)
+        batch_s = {k: jax.device_put(v, bshard) for k, v in batch.items()}
+        before = np.asarray(
+            jax.tree.leaves(sharded)[0], np.float32
+        ).copy()
+        step = make_pp_train_step(cfg, mesh, num_microbatches=2)
+        new_params, loss = step(sharded, batch_s, jax.random.PRNGKey(4))
+        assert np.isfinite(float(loss))
+        after = np.asarray(jax.tree.leaves(new_params)[0], np.float32)
+        assert np.max(np.abs(before - after)) > 0  # params moved (sgd lr is tiny)
+        for leaf in jax.tree.leaves(new_params):
+            assert bool(jnp.all(jnp.isfinite(leaf.astype(jnp.float32))))
+
+    def test_bad_microbatch_count_raises(self):
+        cfg, params, _, args = _setup(B=4)
+        mesh = make_mesh({"dp": 2, "pp": 2}, jax.devices()[:4])
+        sharded = shard_flux_params(params, mesh, pp_axis="pp")
+        runner = make_pp_runner(mesh, num_microbatches=3, dp_axis="dp")
+        try:
+            flux_apply(sharded, cfg, *args, stack_runner=runner)
+            raised = False
+        except ValueError:
+            raised = True
+        assert raised
