@@ -523,6 +523,10 @@ def flux_apply(
     """
     if img.ndim != 3 or txt.ndim != 3:
         raise ValueError("Input img and txt tensors must have 3 dimensions.")
+    if collect_amax and stack_runner is not None:
+        # calibration is a single-chip protocol (pipeline.py freezes scales before
+        # mesh serving); a pipelined runner drops the per-block amax outputs
+        raise ValueError("collect_amax requires the default scan runner")
     dtype = cfg.dtype
     tape = _Tape(collect_amax, cfg.dequant_linears)
     txt_len = txt.shape[1]

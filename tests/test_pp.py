@@ -172,6 +172,19 @@ class TestPPBackward:
         for leaf in jax.tree.leaves(new_params):
             assert bool(jnp.all(jnp.isfinite(leaf.astype(jnp.float32))))
 
+    def test_collect_amax_rejected_under_pp(self):
+        # calibration is a single-chip protocol — a pipelined runner would drop
+        # the per-block amax outputs, so flux_apply refuses loudly
+        cfg, params, _, args = _setup(B=2)
+        mesh = make_mesh({"pp": 2}, jax.devices()[:2])
+        runner = make_pp_runner(mesh, num_microbatches=1)
+        try:
+            flux_apply(params, cfg, *args, collect_amax=True, stack_runner=runner)
+            raised = False
+        except ValueError:
+            raised = True
+        assert raised
+
     def test_bad_microbatch_count_raises(self):
         cfg, params, _, args = _setup(B=4)
         mesh = make_mesh({"dp": 2, "pp": 2}, jax.devices()[:4])
