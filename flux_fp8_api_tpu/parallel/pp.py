@@ -12,6 +12,10 @@ pipeline stage is simply a contiguous slice of that axis. Under ``jax.shard_map`
 a "pp" mesh axis each device holds ``depth/S`` blocks and scans them; microbatches
 rotate stage-to-stage with ``lax.ppermute`` inside a ``lax.scan`` over the
 ``M + S - 1`` pipeline ticks (bubble fraction (S-1)/(M+S-1), the GPipe schedule).
+Note the SPMD formulation trades GPipe's *idle* bubbles for *discarded compute* of
+the same size: during warm-up/drain ticks every stage still runs a full (remat'd)
+block scan on clipped microbatch indices and the results are provably dropped —
+the (S-1)/(M+S-1) fraction is redundant FLOPs here, not idle time.
 Because every collective here is a jax primitive, the backward pipeline needs no
 hand-written schedule: ``jax.grad`` differentiates through shard_map/ppermute and the
 transpose runs the reverse rotation automatically.
@@ -65,10 +69,25 @@ def make_pp_runner(
 
     Constraints: calibration (``collect_amax``) is a single-chip protocol and is not
     supported under pp; tp is not composed with pp (they shard the same resource —
-    see parallel/mesh.py for why tp wins inside a pod).
+    see parallel/mesh.py for why tp wins inside a pod) — enforced: any non-trivial
+    mesh axis besides ``pp_axis``/``dp_axis`` raises.
     """
     if pp_axis not in mesh.axis_names:
         raise ValueError(f"mesh {mesh.axis_names} has no {pp_axis!r} axis")
+    # tp/sp cannot compose with pp: the shard_map below declares blocks as
+    # P(pp, None, ...), so a tree that is ALSO tp-sharded would be silently
+    # all-gathered over tp at every tick — correct outputs, hidden 12B-scale
+    # memory/bandwidth blowup. Refuse instead of degrading.
+    other = [
+        a
+        for a in mesh.axis_names
+        if a not in (pp_axis, dp_axis) and mesh.shape[a] > 1
+    ]
+    if other:
+        raise ValueError(
+            f"pp composes only with dp; mesh has non-trivial axes {other} "
+            "(tp/sp shard the same weights the pp shard_map declares replicated)"
+        )
     S = mesh.shape[pp_axis]
     M = int(num_microbatches)
     if M < 1:

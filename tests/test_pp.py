@@ -12,6 +12,7 @@ prime 19-deep double stack), and (d) the degenerate M=1 schedule.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from flux_fp8_api_tpu.models.flux import (
     FluxStatic,
@@ -178,21 +179,23 @@ class TestPPBackward:
         cfg, params, _, args = _setup(B=2)
         mesh = make_mesh({"pp": 2}, jax.devices()[:2])
         runner = make_pp_runner(mesh, num_microbatches=1)
-        try:
+        with pytest.raises(ValueError, match="collect_amax"):
             flux_apply(params, cfg, *args, collect_amax=True, stack_runner=runner)
-            raised = False
-        except ValueError:
-            raised = True
-        assert raised
 
     def test_bad_microbatch_count_raises(self):
         cfg, params, _, args = _setup(B=4)
         mesh = make_mesh({"dp": 2, "pp": 2}, jax.devices()[:4])
         sharded = shard_flux_params(params, mesh, pp_axis="pp")
         runner = make_pp_runner(mesh, num_microbatches=3, dp_axis="dp")
-        try:
+        with pytest.raises(ValueError, match="microbatches"):
             flux_apply(sharded, cfg, *args, stack_runner=runner)
-            raised = False
-        except ValueError:
-            raised = True
-        assert raised
+
+    def test_tp_axis_rejected(self):
+        # pp declares blocks P(pp, None, ...) in its shard_map — a live tp axis
+        # would be silently all-gathered every tick; make_pp_runner refuses
+        mesh = make_mesh({"tp": 2, "pp": 2}, jax.devices()[:4])
+        with pytest.raises(ValueError, match="pp composes only with dp"):
+            make_pp_runner(mesh, num_microbatches=2)
+        # a size-1 tp axis is inert and fine
+        mesh1 = make_mesh({"tp": 1, "pp": 2}, jax.devices()[:2])
+        make_pp_runner(mesh1, num_microbatches=2)
