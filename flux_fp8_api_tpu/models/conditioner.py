@@ -79,6 +79,7 @@ class TextEncoder:
         dtype=jnp.bfloat16,
         device: Optional[jax.Device] = None,
         offload: bool = False,
+        stream: bool = False,
     ):
         assert kind in ("clip", "t5")
         self.kind = kind
@@ -88,6 +89,11 @@ class TextEncoder:
         self.dtype = jnp.dtype(dtype)
         self.device = device
         self.offload = offload
+        # streamed offload (T5 only — CLIP is 123M, a whole-tree move is already
+        # cheap): params stay host-resident and the block stack streams per layer
+        # at encode time (models/t5.py t5_encode_streamed), double-buffered like
+        # the flow's offload.py. to_device()/to_host() become no-ops.
+        self.stream = bool(stream and offload and kind == "t5")
         host = jax.devices("cpu")[0]
         if offload:
             self.params = jax.device_put(params, host)
@@ -97,6 +103,7 @@ class TextEncoder:
             self.params = params
         self._jit_encode = jax.jit(self._encode_ids_impl)
         self._mesh_shardings = None  # set by shard(); reused across offload cycles
+        self._stream_fns = None  # built lazily on the first streamed encode
 
     # ---------------------------------------------------------------- device moves
     def shard(self, mesh, tp_axis: str = "tp"):
@@ -118,7 +125,10 @@ class TextEncoder:
 
     def to_device(self):
         """Host → accelerator (reference HFEmbedder.cuda(), conditioner.py:98-100);
-        onto the mesh instead when :meth:`shard` was called."""
+        onto the mesh instead when :meth:`shard` was called. A streaming encoder
+        no-ops — its weights flow per block inside :meth:`encode_ids`."""
+        if self.stream and self._mesh_shardings is None:
+            return
         if self._mesh_shardings is not None:
             self.params = jax.tree.map(
                 lambda x, s: x if s is None else jax.device_put(x, s),
@@ -130,7 +140,11 @@ class TextEncoder:
             self.params = jax.device_put(self.params, self.device)
 
     def to_host(self):
-        """Accelerator → host (reference HFEmbedder.offload(), conditioner.py:95-97)."""
+        """Accelerator → host (reference HFEmbedder.offload(), conditioner.py:95-97).
+        A streaming encoder no-ops: its host tree never moved, and the per-block
+        device slices already died inside the encode."""
+        if self.stream and self._mesh_shardings is None:
+            return
         self.params = jax.device_put(self.params, jax.devices("cpu")[0])
 
     # --------------------------------------------------------------------- encoding
@@ -142,6 +156,16 @@ class TextEncoder:
 
     def encode_ids(self, input_ids: jnp.ndarray) -> jnp.ndarray:
         """(B, L) ids → pooled (clip) or last_hidden_state (t5)."""
+        if self.stream and self._mesh_shardings is None:
+            from .t5 import make_t5_stream_fns, t5_encode_streamed
+
+            if self._stream_fns is None:
+                self._stream_fns = make_t5_stream_fns(self.config, self.dtype)
+            device = self.device if self.device is not None else jax.devices()[0]
+            return t5_encode_streamed(
+                self.params, self.config, jnp.asarray(input_ids), device,
+                self.dtype, fns=self._stream_fns,
+            )
         if self._mesh_shardings is not None:
             # ids replicate onto the mesh — jit rejects mixed mesh/single-device args
             from jax.sharding import NamedSharding, PartitionSpec
@@ -178,6 +202,7 @@ class TextEncoder:
         tokenizer_path: Optional[str] = None,
         device: Optional[jax.Device] = None,
         offload: bool = False,
+        stream: bool = False,
     ) -> "TextEncoder":
         from transformers import AutoTokenizer
 
@@ -213,6 +238,7 @@ class TextEncoder:
             dtype=jdtype,
             device=device,
             offload=offload,
+            stream=stream,
         )
 
 

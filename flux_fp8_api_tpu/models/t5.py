@@ -138,6 +138,75 @@ def t5_encode(
     return _t5_layer_norm(x, params["final_ln"], cfg.layer_norm_epsilon)
 
 
+# ------------------------------------------------------------------ streamed offload
+
+
+def make_t5_stream_fns(cfg: T5Config, dtype):
+    """The three jitted pieces of a streamed (block-by-block offloaded) T5 encode —
+    the text-encoder analog of offload.py's flow stream fns. One ``block`` jit
+    serves every layer (all 24 T5-XXL blocks share shapes), so the structure costs
+    depth-many dispatches, not depth-many compiles."""
+
+    @jax.jit
+    def pre(shared, rel_bias, input_ids):
+        x = shared.astype(dtype)[input_ids]
+        return x, compute_position_bias(rel_bias, input_ids.shape[1], cfg)
+
+    @jax.jit
+    def block(blk, x, position_bias):
+        return _t5_block(blk, x, position_bias, cfg, dtype)
+
+    @jax.jit
+    def post(final_ln, x):
+        return _t5_layer_norm(x, final_ln, cfg.layer_norm_epsilon)
+
+    return {"pre": pre, "block": block, "post": post}
+
+
+def t5_encode_streamed(
+    params: Dict[str, Any],
+    cfg: T5Config,
+    input_ids: jnp.ndarray,
+    device,
+    dtype=jnp.bfloat16,
+    fns=None,
+) -> jnp.ndarray:
+    """:func:`t5_encode` with the block stack streamed host→device per layer.
+
+    The reference's 24GB offload plan moves the WHOLE T5 to the GPU before encoding
+    and back after (flux_pipeline.py:293-311 per-stage moves) — at T5-XXL scale
+    that serializes a multi-GB transfer against zero compute. Here the stacked
+    ``blocks`` tree stays host-resident; each layer's slice is ``device_put``
+    issued one layer AHEAD of the compute that needs it (JAX dispatch is async, so
+    the copy overlaps the previous layer's matmuls), and device references die as
+    soon as the layer is consumed — peak HBM is two block slices plus activations,
+    and there is no device→host return copy at all. Unlike the flow's streamed
+    denoise (offload.py), nothing is retained: an encode touches each block once
+    per request, so retention buys nothing and would squat HBM the flow needs.
+
+    Numerically identical ops to :func:`t5_encode` modulo jit boundaries (same
+    fusion-noise caveat as the flow stream fns; tests pin the closeness).
+    """
+    from ..offload import LazyBlockSlices
+
+    fns = fns or make_t5_stream_fns(cfg, dtype)
+    slices = LazyBlockSlices(params["blocks"])
+    tops = jax.device_put(
+        {k: params[k] for k in ("shared", "rel_bias", "final_ln")}, device
+    )
+    x, position_bias = fns["pre"](
+        tops["shared"], tops["rel_bias"], jax.device_put(input_ids, device)
+    )
+    n = len(slices)
+    nxt = jax.device_put(slices[0], device)
+    for j in range(n):
+        # prefetch layer j+1 BEFORE dispatching layer j's compute — both are
+        # async, so the host→HBM copy rides under the matmuls
+        cur, nxt = nxt, (jax.device_put(slices[j + 1], device) if j + 1 < n else None)
+        x = fns["block"](cur, x, position_bias)
+    return fns["post"](tops["final_ln"], x)
+
+
 # --------------------------------------------------------------------- init / loading
 
 

@@ -52,9 +52,20 @@ _QKNORM_BLOCKS_MEASURED = {
 # (pipeline.py). The hand-measured table stays authoritative where it has entries.
 _TUNED_BLOCKS = {}
 
+# Mesh-local tuned blocks, keyed (lq, lkv) — filled by :func:`autotune_blocks_local`
+# at MESH warmup (pipeline.py): under shard_map the kernel traces with per-device
+# shapes (lq = l/sp, fewer folded heads), where the single-chip tables don't apply.
+# Entries here win over everything: they only exist when this process measured them
+# at exactly these local shapes.
+_TUNED_BLOCKS_RECT = {}
+
 
 def register_tuned_blocks(l: int, blocks) -> None:
     _TUNED_BLOCKS[int(l)] = (int(blocks[0]), int(blocks[1]))
+
+
+def register_tuned_blocks_rect(lq: int, lkv: int, blocks) -> None:
+    _TUNED_BLOCKS_RECT[(int(lq), int(lkv))] = (int(blocks[0]), int(blocks[1]))
 
 
 def _pick_blocks(l: int):

@@ -126,11 +126,63 @@ class FluxPipeline:
         # collectives. The reference's only analog is coarse per-model GPU placement
         # (util.py:51-53) — this is the TPU-native expansion (SURVEY.md §2.2).
         self.mesh = None
+        self._pp_runner = None
         if config.mesh:
             from .parallel.mesh import make_mesh
 
             mesh_spec = dict(config.mesh)
+            unknown = [a for a in mesh_spec if a not in ("dp", "tp", "sp", "pp")]
+            if unknown:
+                raise ValueError(
+                    f"mesh axes {unknown} are not serving axes — supported: "
+                    "dp (batch), tp (Megatron), sp (sequence), pp (GPipe block stages)"
+                )
             self.mesh = make_mesh(mesh_spec)
+            if mesh_spec.get("pp", 1) > 1:
+                # pipeline-parallel serving: the depth-stacked block axis shards over
+                # pp and the denoise jit runs the GPipe stack_runner (parallel/pp.py).
+                # pp composes only with dp — tp/sp shard the same weights the pp
+                # shard_map declares stage-local (make_pp_runner would also refuse).
+                bad = [a for a in ("tp", "sp") if mesh_spec.get(a, 1) > 1]
+                if bad:
+                    raise ValueError(
+                        f"pp does not compose with {bad}: serve with dp/tp/sp "
+                        "(freely composable) or dp+pp (parallel/mesh.py rationale)"
+                    )
+                S = mesh_spec["pp"]
+                depths = {
+                    "double_blocks": config.params.depth,
+                    "single_blocks": config.params.depth_single_blocks,
+                }
+                piped = [k for k, d in depths.items() if d % S == 0]
+                for k, d in depths.items():
+                    if d % S != 0:
+                        logger.warning(
+                            f"pp={S} doesn't divide {k} depth {d}: that stack stays "
+                            "replicated over pp (plain scan, no pipeline)"
+                        )
+                if not piped:
+                    raise ValueError(
+                        f"pp={S} divides neither stack depth "
+                        f"({depths['double_blocks']} doubles, "
+                        f"{depths['single_blocks']} singles) — every chip would hold "
+                        "and run the full model; use dp/tp/sp instead"
+                    )
+                from .parallel.pp import make_pp_runner
+
+                self._pp_runner = make_pp_runner(
+                    self.mesh,
+                    num_microbatches=config.pp_microbatches,
+                    dp_axis="dp" if "dp" in mesh_spec else None,
+                )
+                if self.model_cfg is not None and self.model_cfg.use_pallas:
+                    # the Pallas attention shard_map cannot nest inside the pp
+                    # shard_map; XLA attention partitions fine under it
+                    self.model_cfg = dataclasses.replace(self.model_cfg, use_pallas=False)
+                logger.info(
+                    f"mesh serving: GPipe pp={S} over {piped} "
+                    f"(M={config.pp_microbatches}, XLA attention)"
+                )
             # ANY multi-device mesh needs the shard_map route (or the XLA fallback):
             # a dp-only mesh still feeds the Pallas custom call dp-sharded
             # activations that GSPMD cannot partition
@@ -211,6 +263,13 @@ class FluxPipeline:
             and self._is_quantized()
             and config.num_scale_trials > 0
         )
+        if self._needs_calibration and self._pp_runner is not None:
+            # collect_amax is a single-chip protocol (flux_apply rejects it under a
+            # stack_runner); refuse at construction instead of at the first generate
+            raise ValueError(
+                "pp serving requires calibrated input scales: load a prequantized "
+                "checkpoint (save_prequantized) or set num_scale_trials=0"
+            )
         self._amax_running = None
         self._trials_done = 0
 
@@ -310,7 +369,11 @@ class FluxPipeline:
             return jax.device_put(params, self.device_flux)
         from .parallel.mesh import shard_flux_params
 
-        return shard_flux_params(params, self.mesh)
+        return shard_flux_params(
+            params,
+            self.mesh,
+            pp_axis="pp" if self._pp_runner is not None else None,
+        )
 
     def _ensure_stream_state(self):
         """Build (or reuse) the streamed-offload state: jitted per-block fns, the
@@ -641,6 +704,7 @@ class FluxPipeline:
                     guidance,
                     fused=silent,
                     progress=not silent,
+                    stack_runner=self._pp_runner,
                 )
         # fetch one element rather than block_until_ready: on the axon-tunneled TPU
         # block_until_ready is a no-op, a value fetch forces execution everywhere

@@ -124,6 +124,11 @@ class ModelSpec(BaseModel):
     # False restores the whole-tree round trip (calibration and mesh serving
     # always use it).
     stream_flow_offload: bool = True
+    # Same idea for the offloaded T5-XXL: stream its 24 stacked blocks host→HBM one
+    # layer ahead of compute (models/t5.py t5_encode_streamed) instead of moving the
+    # whole 4.7B tree before each encode and back after. No-op unless
+    # offload_text_encoder is set; CLIP (123M) always moves whole-tree.
+    stream_text_encoder: bool = True
     prequantized_flow: bool = False
     # Improved precision via not quantizing the modulation linear layers
     quantize_modulation: bool = True
@@ -140,7 +145,14 @@ class ModelSpec(BaseModel):
     # (float8_quantize.py:42,220-246).
     num_scale_trials: int = 12
     # Mesh shape for multi-chip sharding, e.g. {"dp": 1, "tp": 4}. None = single chip.
+    # Supported serving axes: dp (batch), tp (Megatron within-block), sp (sequence) —
+    # freely composable — or pp (GPipe over the depth-stacked block axis, parallel/pp.py)
+    # which composes only with dp (FluxPipeline validates and raises otherwise).
     mesh: Optional[dict] = None
+    # Microbatch count M for pp serving (bubble fraction (S-1)/(M+S-1)); the per-dp
+    # batch must divide into M. Serving batches are usually 1 → default M=1 (pp then
+    # buys memory scaling — 1/S of the block weights per chip — not throughput).
+    pp_microbatches: int = 1
     # Serving buckets precompiled by compile(): list of [width, height] pairs (the AOT
     # analog of the reference's torch.compile warmup, flux_pipeline.py:179-231) and the
     # step count they compile for (jit caches key on (resolution, steps)). None →

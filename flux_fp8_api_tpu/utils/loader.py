@@ -259,6 +259,7 @@ def load_text_encoders(config: ModelSpec):
             tokenizer_path=config.t5_tokenizer_path,
             device=device,
             offload=offload,
+            stream=config.stream_text_encoder,
         )
     else:
         t5 = _random_t5(config, device, offload)
@@ -324,7 +325,8 @@ def _random_t5(config: ModelSpec, device, offload):
         "t5", init_t5_params(jax.random.PRNGKey(3), cfg, jnp.bfloat16), config.text_enc_quantization_dtype
     )
     return TextEncoder("t5", params, cfg, _toy_tokenizer("t5"), max_length=config.text_enc_max_length,
-                       dtype=into_dtype(config.text_enc_dtype), device=device, offload=offload)
+                       dtype=into_dtype(config.text_enc_dtype), device=device, offload=offload,
+                       stream=config.stream_text_encoder)
 
 
 def load_models_from_config(config: ModelSpec) -> LoadedModels:
