@@ -177,13 +177,18 @@ class PipelineServer:
 
         return Handler
 
-    def serve_forever(self):
+    def _bind(self):
         self._httpd = ThreadingHTTPServer((self.host, self.port), self.make_handler())
+        # port=0 asks the OS for a free ephemeral port; reflect what was bound
+        self.port = self._httpd.server_address[1]
+
+    def serve_forever(self):
+        self._bind()
         print(f"flux-fp8-api-tpu serving on http://{self.host}:{self.port}")
         self._httpd.serve_forever()
 
     def start_background(self):
-        self._httpd = ThreadingHTTPServer((self.host, self.port), self.make_handler())
+        self._bind()
         t = threading.Thread(target=self._httpd.serve_forever, daemon=True)
         t.start()
         return t

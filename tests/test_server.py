@@ -15,13 +15,15 @@ from .test_pipeline import make_pipeline
 @pytest.fixture(scope="module")
 def server():
     pipe = make_pipeline()
-    srv = PipelineServer(pipe, host="127.0.0.1", port=8971)
+    # port=0: the OS assigns a free ephemeral port (srv.port reflects it) — no
+    # collisions under pytest-xdist or with anything else on the machine
+    srv = PipelineServer(pipe, host="127.0.0.1", port=0)
     srv.start_background()
     yield srv
     srv.shutdown()
 
 
-def _post(path, body, port=8971):
+def _post(path, body, port):
     req = urllib.request.Request(
         f"http://127.0.0.1:{port}{path}",
         data=json.dumps(body).encode(),
@@ -35,14 +37,14 @@ def _post(path, body, port=8971):
         return e.code, e.headers.get("content-type"), e.read()
 
 
-def _get(path, port=8971):
+def _get(path, port):
     resp = urllib.request.urlopen(f"http://127.0.0.1:{port}{path}", timeout=30)
     return resp.status, json.loads(resp.read())
 
 
 class TestServer:
     def test_health(self, server):
-        status, body = _get("/health")
+        status, body = _get("/health", server.port)
         assert status == 200
         assert body["status"] == "ok"
         assert body["model"] == "flux-dev"
@@ -51,6 +53,7 @@ class TestServer:
         status, ctype, payload = _post(
             "/generate",
             {"prompt": "a cat", "width": 64, "height": 64, "num_steps": 1, "seed": 3},
+            server.port,
         )
         assert status == 200
         assert ctype == "image/jpeg"
@@ -65,21 +68,22 @@ class TestServer:
         status, ctype, payload = _post(
             "/generate",
             {"prompt": "a cat", "width": 64, "height": 64, "num_steps": 1, "seed": 0},
+            server.port,
         )
         assert status == 200
         assert ctype == "image/jpeg"
 
     def test_generate_missing_prompt_400(self, server):
-        status, ctype, payload = _post("/generate", {"width": 64})
+        status, ctype, payload = _post("/generate", {"width": 64}, server.port)
         assert status == 400
 
     def test_lora_missing_path_400(self, server):
-        status, _, payload = _post("/lora", {"action": "load"})
+        status, _, payload = _post("/lora", {"action": "load"}, server.port)
         assert status == 400
         assert json.loads(payload)["status"] == "error"
 
     def test_lora_bad_file_500(self, server):
-        status, _, payload = _post("/lora", {"action": "load", "path": "/nope.safetensors"})
+        status, _, payload = _post("/lora", {"action": "load", "path": "/nope.safetensors"}, server.port)
         assert status == 500
 
     def test_lora_load_unload_roundtrip(self, server):
@@ -93,17 +97,17 @@ class TestServer:
         with tempfile.NamedTemporaryFile(suffix=".safetensors", delete=False) as f:
             path = f.name
         save_safetensors(path, make_kohya_lora())
-        status, _, payload = _post("/lora", {"action": "load", "path": path, "scale": 1.0})
+        status, _, payload = _post("/lora", {"action": "load", "path": path, "scale": 1.0}, server.port)
         assert status == 200, payload
-        status, body = _get("/health")
+        status, body = _get("/health", server.port)
         assert len(body["loras"]) == 1
-        status, _, payload = _post("/lora", {"action": "unload", "path": path})
+        status, _, payload = _post("/lora", {"action": "unload", "path": path}, server.port)
         assert status == 200
-        _, body = _get("/health")
+        _, body = _get("/health", server.port)
         assert body["loras"] == []
 
     def test_metrics(self, server):
-        status, body = _get("/metrics")
+        status, body = _get("/metrics", server.port)
         assert status == 200
         assert body["requests"] >= 1
         # last-request per-phase timings incl. the reference's headline it/s
@@ -118,7 +122,7 @@ class TestServer:
         poll mid-request never sees a torn phase mix)."""
         import threading
 
-        before = _get("/metrics")[1]["requests"]
+        before = _get("/metrics", server.port)[1]["requests"]
         n = 4
         results, errors = [], []
 
@@ -127,6 +131,7 @@ class TestServer:
                 status, ctype, body = _post(
                     "/generate",
                     {"prompt": f"cat {i}", "width": 64, "height": 64, "num_steps": 1},
+                    server.port,
                 )
                 results.append((status, ctype, body[:3]))
             except Exception as e:  # pragma: no cover - failure detail
@@ -135,7 +140,7 @@ class TestServer:
         def poll():
             try:
                 for _ in range(20):
-                    status, body = _get("/metrics")
+                    status, body = _get("/metrics", server.port)
                     assert status == 200
                     # phases come as one consistent snapshot (or not yet at all)
                     if "denoise_seconds" in body:
@@ -152,4 +157,4 @@ class TestServer:
         assert not errors, errors
         assert len(results) == n
         assert all(s == 200 and c == "image/jpeg" and b == b"\xff\xd8\xff" for s, c, b in results)
-        assert _get("/metrics")[1]["requests"] == before + n
+        assert _get("/metrics", server.port)[1]["requests"] == before + n

@@ -96,3 +96,38 @@ class TestTrainerCli:
         # resume: start_step=2 == steps → loop is skipped, artifacts rewritten
         train(common + ["--steps", "2"])
         assert os.path.exists(out)
+
+    def test_resume_mid_epoch_matches_uninterrupted(self, tmp_path):
+        """Interrupt-and-resume ≡ uninterrupted (VERDICT r3 item 9): a run
+        checkpointed MID-epoch (cursor inside the permutation, before the
+        reshuffle) and resumed must produce the same adapters as one straight
+        run — the trainer fast-forwards the data order and PRNG stream to the
+        restored step, so resume is a continuation, not a replay."""
+        rng = np.random.default_rng(2)
+        d = tmp_path / "data"
+        d.mkdir()
+        for i in range(3):  # n=3, bs=1 → epoch = 3 steps; checkpoint at 2 is mid-epoch
+            arr = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(d / f"item_{i}.png")
+        common = [
+            "--config-path", CONFIG, "--data-dir", str(d),
+            "--rank", "2", "--lr", "1e-3", "--width", "64", "--height", "64",
+            "--batch-size", "1",
+        ]
+        out_a = str(tmp_path / "straight.safetensors")
+        train(common + ["--output", out_a, "--steps", "4"])  # crosses the reshuffle
+
+        out_b = str(tmp_path / "resumed.safetensors")
+        state = str(tmp_path / "state")
+        train(common + ["--output", out_b, "--steps", "2", "--state-dir", state])
+        train(common + ["--output", out_b, "--steps", "4", "--state-dir", state])
+
+        from flux_fp8_api_tpu.utils.safetensors_io import SafetensorsFile
+
+        fa, fb = SafetensorsFile(out_a), SafetensorsFile(out_b)
+        assert set(fa.keys()) == set(fb.keys()) and len(list(fa.keys())) > 0
+        for k in fa.keys():
+            np.testing.assert_allclose(
+                np.asarray(fa.get(k), np.float32), np.asarray(fb.get(k), np.float32),
+                atol=1e-6, rtol=1e-6, err_msg=k,
+            )
