@@ -1,14 +1,26 @@
-"""Mid-size fp8/int8/int4-vs-float SSIM on the real TPU (VERDICT r1 weak #8).
+"""fp8/int8/int4-vs-bf16 SSIM gate on the real TPU.
 
-The CPU test suite gates SSIM on a tiny (hidden 64) random model; quantization error
-can behave differently at depth/width, so this runs the same gate at hidden 1536 /
-12 blocks / 512x512 — big enough for scale effects, small enough that the FLOAT
-reference tree (bf16, ~1.4GB) still fits beside the quantized ones on a 16GB chip.
+Two modes:
 
-Weights are random-init (no checkpoints ship in this image; the BASELINE >=0.95 SSIM
-claim on real weights remains flagged in README). Prints ONE JSON line.
+- mid-size (default, VERDICT r1 weak #8): hidden 1536 / 12 blocks / 512x512 — big
+  enough for scale effects, small enough that the FLOAT reference tree (bf16,
+  ~1.4GB) fits beside the quantized ones on a 16GB chip.
+
+- ``full`` (VERDICT r3 #1): the TRUE flux-dev architecture (hidden 3072, 19+38
+  blocks, 24GB bf16) at 1024x1024. The bf16 ground truth cannot fit a 16GB chip
+  resident, so it runs through the streamed-offload path with a finite
+  ``retain_bytes`` budget (offload.py): the leading ~10GB of blocks stay resident,
+  the rest re-stream from host every step. Each quantized tier then runs resident
+  (quantize per-leaf straight off the host bf16 tree — same weights), calibrated
+  with one amax pass, and is SSIM'd against the ground truth. This is the
+  BASELINE.md >=0.95 criterion at the scale where quantization error accumulates
+  most (the last provable BASELINE claim in this image — real checkpoints never
+  ship here, so weights are random kaiming-uniform, matching init_flux_params).
+
+Prints ONE JSON line (gate: fp8_fast_accum tier, the serving default).
 
 Usage: python bench_fidelity.py [width height steps]
+       python bench_fidelity.py full [steps] [tiers,csv]
 """
 
 import json
@@ -35,6 +47,164 @@ def latent_image(x, h_lat, w_lat):
     img = np.asarray(jnp.mean(lat[0], axis=0))
     lo, hi = float(img.min()), float(img.max())
     return (img - lo) / max(hi - lo, 1e-9) * 255.0
+
+
+def host_flux_params(cfg, seed: int = 0):
+    """flux-dev-scale random bf16 tree built HOST-side with numpy (24GB never fits
+    the chip; jax.random would allocate there). Mirrors init_flux_params: kaiming-
+    uniform kernels (bound sqrt(3/in_f)), uniform biases (sqrt(1/in_f)), unit
+    qk-norm scales — so the max-free attention kernel's logit bound holds."""
+    import ml_dtypes
+
+    rng = np.random.default_rng(seed)
+    bf16 = ml_dtypes.bfloat16
+
+    from flux_fp8_api_tpu.ops.quant import Linear
+
+    def lin(in_f, out_f, stacked=None, bias=True):
+        lead = (stacked,) if stacked else ()
+        bound = (1.0 / in_f) ** 0.5
+        k = (rng.random((*lead, in_f, out_f), np.float32) * 2.0 - 1.0) * (bound * 3**0.5)
+        b = (rng.random((*lead, out_f), np.float32) * 2.0 - 1.0) * bound if bias else None
+        return Linear(
+            kernel=k.astype(bf16),
+            bias=b.astype(bf16) if b is not None else None,
+            kind="float",
+        )
+
+    def embedder(in_f, hs):
+        return {"in_layer": lin(in_f, hs), "out_layer": lin(hs, hs)}
+
+    hs, mh, hd = cfg.hidden_size, cfg.mlp_hidden, cfg.head_dim
+    d, ds = cfg.depth, cfg.depth_single_blocks
+    ones = lambda n: np.ones((n, hd), bf16)  # noqa: E731
+    return {
+        "img_in": lin(cfg.in_channels, hs),
+        "txt_in": lin(cfg.context_in_dim, hs),
+        "time_in": embedder(256, hs),
+        "vector_in": embedder(cfg.vec_in_dim, hs),
+        "guidance_in": embedder(256, hs) if cfg.guidance_embed else None,
+        "double_blocks": {
+            "img_mod_lin": lin(hs, 6 * hs, d),
+            "txt_mod_lin": lin(hs, 6 * hs, d),
+            "img_attn_qkv": lin(hs, 3 * hs, d),
+            "txt_attn_qkv": lin(hs, 3 * hs, d),
+            "img_attn_proj": lin(hs, hs, d),
+            "txt_attn_proj": lin(hs, hs, d),
+            "img_mlp_0": lin(hs, mh, d),
+            "img_mlp_2": lin(mh, hs, d),
+            "txt_mlp_0": lin(hs, mh, d),
+            "txt_mlp_2": lin(mh, hs, d),
+            "img_attn_qnorm": ones(d), "img_attn_knorm": ones(d),
+            "txt_attn_qnorm": ones(d), "txt_attn_knorm": ones(d),
+        },
+        "single_blocks": {
+            "linear1": lin(hs, 3 * hs + mh, ds),
+            "linear2": lin(hs + mh, hs, ds),
+            "mod_lin": lin(hs, 3 * hs, ds),
+            "qnorm": ones(ds), "knorm": ones(ds),
+        },
+        "final_layer": {"linear": lin(hs, cfg.in_channels), "adaln": lin(hs, 2 * hs)},
+    }
+
+
+def main_full():
+    import gc
+    import time
+
+    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    tiers = (
+        sys.argv[3].split(",") if len(sys.argv) > 3
+        else ["fp8", "fp8_fast_accum", "int8", "int4"]
+    )
+    width = height = 1024
+
+    params_cfg = FluxParams(
+        in_channels=64, vec_in_dim=768, context_in_dim=4096, hidden_size=3072,
+        mlp_ratio=4.0, num_heads=24, depth=19, depth_single_blocks=38,
+        axes_dim=[16, 56, 56], theta=10_000, qkv_bias=True, guidance_embed=True,
+    )
+    cfg = FluxStatic.from_params(params_cfg, use_pallas=jax.default_backend() == "tpu")
+    print("building 24GB host bf16 tree ...", file=sys.stderr)
+    t0 = time.time()
+    host_tree = host_flux_params(cfg)
+    print(f"host tree built in {time.time() - t0:.0f}s", file=sys.stderr)
+
+    b = 1
+    h_lat, w_lat = height // 8, width // 8
+    img0 = jax.random.normal(
+        jax.random.PRNGKey(1), (b, (h_lat // 2) * (w_lat // 2), 64), jnp.bfloat16
+    )
+    img_ids = make_img_ids(h_lat, w_lat, b)
+    txt = jax.random.normal(jax.random.PRNGKey(2), (b, 512, 4096), jnp.bfloat16)
+    txt_ids = make_txt_ids(512, b)
+    vec = jax.random.normal(jax.random.PRNGKey(3), (b, 768), jnp.bfloat16)
+    ts = jnp.linspace(1.0, 0.0, steps + 1, dtype=jnp.float32)
+    g = 3.5
+
+    # ---- bf16 ground truth through the streamed offload path: retain ~10GB of
+    # blocks resident, re-stream the rest each step (24GB bf16 > 16GB HBM)
+    from flux_fp8_api_tpu import offload as offload_mod
+
+    device = jax.devices()[0]
+    fns = offload_mod.make_stream_fns(cfg)
+    tops, dbl, sgl = offload_mod.split_flow_params(host_tree)
+    tops_dev = jax.device_put(tops, device)
+    t0 = time.time()
+    ref_lat = offload_mod.streamed_denoise(
+        fns, tops_dev, dbl, sgl, device,
+        jnp.array(img0, copy=True), img_ids, txt, txt_ids, vec, ts, g, cfg,
+        retain_bytes=10 * 1024**3,
+    )
+    ref = latent_image(ref_lat, h_lat, w_lat)
+    gt_s = time.time() - t0
+    print(f"bf16 ground truth (streamed, retain 10GB): {gt_s:.0f}s", file=sys.stderr)
+    del tops_dev, ref_lat, fns, tops, dbl, sgl
+    gc.collect()
+
+    from flux_fp8_api_tpu.calibration import apply_input_scales, merge_amax
+
+    results, timings = {}, {"bf16_ground_truth_s": round(gt_s, 1)}
+    for tier in tiers:
+        t0 = time.time()
+        qtree = quantize_flux_tree(
+            host_tree, kind=("fp8" if tier == "fp8_fast_accum" else tier)
+        )
+        if tier == "fp8_fast_accum":
+            qtree = tree_fp8_to_int8_compute(qtree)
+        _, amaxes = flux_apply(
+            qtree, cfg, img0, img_ids, txt, txt_ids, jnp.full((b,), 0.5, jnp.float32),
+            vec, jnp.full((b,), 3.5, jnp.float32), collect_amax=True,
+        )
+        qtree = apply_input_scales(qtree, merge_amax(None, amaxes))
+        out = _denoise_scan(
+            qtree, cfg, jnp.array(img0, copy=True), img_ids, txt, txt_ids, vec, ts,
+            jnp.float32(g),
+        )
+        results[tier] = round(float(ssim(ref, latent_image(out, h_lat, w_lat))), 4)
+        timings[tier + "_s"] = round(time.time() - t0, 1)
+        print(f"{tier}: ssim {results[tier]} ({timings[tier + '_s']}s)", file=sys.stderr)
+        del qtree, out, amaxes
+        gc.collect()
+
+    gate = min(results.values())
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    f"SSIM vs streamed bf16 ground truth, FULL flux-dev "
+                    f"(3072 hidden, 19+38 blocks) @{width}x{height}/{steps} steps, "
+                    "random-init (TPU)"
+                ),
+                "value": results.get("fp8_fast_accum", gate),
+                "unit": "ssim",
+                "gate": ">=0.95 (BASELINE.md)",
+                "pass": bool(gate >= 0.95),
+                "detail": results,
+                "timings": timings,
+            }
+        )
+    )
 
 
 def main():
@@ -105,4 +275,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "full":
+        main_full()
+    else:
+        main()

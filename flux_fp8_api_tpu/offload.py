@@ -137,6 +137,12 @@ def split_flow_params(params: Dict[str, Any]):
     )
 
 
+def slice_nbytes(slices: "LazyBlockSlices") -> int:
+    """Bytes of ONE per-block slice (stack bytes / depth) — the unit the
+    ``retain_bytes`` budget is charged in."""
+    return sum(x.nbytes for x in jax.tree.leaves(slices._stack)) // len(slices)
+
+
 def streamed_denoise(
     fns: Dict[str, Any],
     tops_dev,
@@ -152,11 +158,20 @@ def streamed_denoise(
     guidance: float,
     cfg: FluxStatic,
     progress: bool = False,
+    retain_bytes: Optional[int] = None,
 ) -> jnp.ndarray:
     """Run the full denoise loop with per-block weight streaming: step 1 overlaps
     each block's host→HBM copy with the previous block's compute (double-buffered
     prefetch), later steps run device-resident, and all device weight references
     die with this frame — no return transfer.
+
+    ``retain_bytes`` caps how much block weight stays resident between steps:
+    ``None`` (default) retains everything — right whenever the tree fits HBM beside
+    the activations. A finite budget retains the leading blocks up to the cap and
+    re-streams the rest every step (prefetched one block ahead, dropped right after
+    their compute dispatch — a rolling ~2-slice window). This is how a tree LARGER
+    than the chip's HBM runs at all (e.g. the 24GB bf16 flux-dev ground truth for
+    the fidelity gate on a 16GB chip): transfer-bound, but correct and bounded.
 
     Matches :func:`..sampling._denoise_scan` numerically (same ops, different jit
     boundaries — float reassociation only; tests pin the closeness)."""
@@ -181,20 +196,33 @@ def streamed_denoise(
         except ImportError:
             pass
 
-    # device-resident copies, filled by the prefetch chain during step 1 and
-    # dropped (freeing HBM) when this function returns
+    # which blocks stay resident between steps: all of them (retain_bytes=None), or
+    # the leading prefix whose cumulative slice bytes fit the budget
+    if retain_bytes is None:
+        retained = [True] * n
+    else:
+        db, sb = slice_nbytes(dbl_slices), slice_nbytes(sgl_slices)
+        retained, cum = [], 0
+        for j in range(n):
+            cum += db if j < n_dbl else sb
+            retained.append(cum <= retain_bytes)
+
+    # device-resident copies, filled by the prefetch chain (during step 1 for
+    # retained blocks, every step for streamed ones) and dropped when this
+    # function returns
     dev: List = [None] * n
-    dev[0] = jax.device_put(slice_at(0), device)
     for t_curr, t_prev in steps:
         t_vec = jnp.full((b,), t_curr, jnp.float32)
         img_e, txt_e, vec_silu, cos, sin = fns["pre"](
             tops_dev, img, img_ids, txt, txt_ids, t_vec, y, g_vec
         )
         x = None
+        if dev[0] is None:
+            dev[0] = jax.device_put(slice_at(0), device)
         for j in range(n):
             # prefetch the next slice BEFORE dispatching this block's compute —
-            # both are async, so the copy overlaps the matmuls (step 1 only;
-            # afterwards everything is already resident)
+            # both are async, so the copy overlaps the matmuls (every step for
+            # streamed blocks; once for retained ones)
             if j + 1 < n and dev[j + 1] is None:
                 dev[j + 1] = jax.device_put(slice_at(j + 1), device)
             if j < n_dbl:
@@ -203,5 +231,9 @@ def streamed_denoise(
                     x = jnp.concatenate([txt_e, img_e], axis=1)
             else:
                 x = fns["single"](dev[j], x, vec_silu, cos, sin)
+            if not retained[j]:
+                # compute is dispatched — JAX keeps the buffer alive until it
+                # completes; dropping the reference frees the HBM right after
+                dev[j] = None
         img = fns["final"](tops_dev, x, vec_silu, img, t_curr, t_prev)
     return img

@@ -270,11 +270,17 @@ def benchmark_blocks(
     iters: int = 24,
     interpret: bool = False,
     lkv: int = None,
+    fuse_rope: bool = True,
+    ablate_exp: bool = False,
 ):
     """Per-call seconds for one (block_q, block_kv) candidate at joint seq ``l``,
     measured exactly the way the model calls the kernel (rope fused, folded
     batch·head axis). ``lkv`` (default ``l``) makes the call rectangular — the
     shape a sequence-parallel shard sees (q rows = local shard, kv = full seq).
+
+    ``fuse_rope=False`` drops the in-kernel rotation, ``ablate_exp=True`` swaps the
+    exp for identity (ceiling-measurement build) — the two knobs behind the
+    docs/PERF.md exp-cost/slack ablation table.
 
     Tunnel-safe timing (CLAUDE.md): the per-dispatch floor through the axon tunnel
     is ~32ms, so the kernel runs ``iters`` times under one jitted ``lax.scan`` with
@@ -302,9 +308,14 @@ def benchmark_blocks(
     @jax.jit
     def bench(q, k, v, cos_q, sin_q, cos_k, sin_k):
         def body(carry, _):
+            rope_kw = (
+                dict(cos=cos_k, sin=sin_k, cos_q=cos_q, sin_q=sin_q)
+                if fuse_rope
+                else {}
+            )
             o = qknorm_attention(
                 carry, k, v, sm_scale, block_q=bq, block_kv=bkv,
-                cos=cos_k, sin=sin_k, cos_q=cos_q, sin_q=sin_q, interpret=interpret,
+                interpret=interpret, ablate_exp=ablate_exp, **rope_kw,
             )
             return o.astype(carry.dtype), None
 

@@ -59,7 +59,7 @@ def _rope_rotate(x_ref, cos_ref, sin_ref, out_dtype):
 
 def _attn_kernel(
     *refs, sm_scale: float, block_kv: int, valid_len: int,
-    track_max: bool = False, fuse_rope: bool = False,
+    track_max: bool = False, fuse_rope: bool = False, ablate_exp: bool = False,
 ):
     # refs = (q, k, v, [cos_q, sin_q, cos_k, sin_k,] o, [m,] acc, den)
     q_ref, k_ref, v_ref = refs[:3]
@@ -95,7 +95,14 @@ def _attn_kernel(
         # (8, 128); the wrapper reduces it back to one scalar.
         mval = jnp.max(jnp.abs(s)) * abs(sm_scale)
         m_ref[0, 0] = jnp.maximum(m_ref[0, 0], jnp.full((8, 128), mval, jnp.float32))
-    p = jnp.exp(s * sm_scale - SHIFT)  # (bq, bkv) f32
+    if ablate_exp:
+        # ceiling-measurement build (docs/PERF.md ablation): identical kernel with
+        # the transcendental removed — same matmuls, masks, accumulators, epilogue.
+        # Wall-clock delta vs the exp build IS the transcendental cost; NEVER
+        # serve with this (outputs are not a softmax).
+        p = s * sm_scale - SHIFT  # (bq, bkv) f32
+    else:
+        p = jnp.exp(s * sm_scale - SHIFT)  # (bq, bkv) f32
 
     def accumulate(p):
         den_ref[:] += jnp.sum(p, axis=1, keepdims=True)
@@ -129,7 +136,9 @@ def _attn_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sm_scale", "block_q", "block_kv", "interpret", "return_max_logit"),
+    static_argnames=(
+        "sm_scale", "block_q", "block_kv", "interpret", "return_max_logit", "ablate_exp",
+    ),
 )
 def qknorm_attention(
     q: jnp.ndarray,
@@ -144,6 +153,7 @@ def qknorm_attention(
     sin: jnp.ndarray = None,
     cos_q: jnp.ndarray = None,
     sin_q: jnp.ndarray = None,
+    ablate_exp: bool = False,
 ) -> jnp.ndarray:
     """(H, Lq, D) q × (H, Lkv, D) k/v → (H, Lq, D) attention output (batch folded
     into heads). Lq == Lkv in single-chip serving; they differ under sequence/context
@@ -164,6 +174,11 @@ def qknorm_attention(
     ``return_max_logit=True`` selects the stats build, which additionally returns the
     scalar ``max |q·k·sm_scale|`` over the whole attention — the guard-rail input for
     :func:`qknorm_attention_checked`. The serving build carries no tracking cost.
+
+    ``ablate_exp=True`` is the ceiling-measurement build (exp replaced by identity,
+    everything else byte-identical): its wall-clock delta vs the serving build is the
+    VPU transcendental cost, the remainder above the matmul roofline is scheduling/
+    memory slack. Measurement only — outputs are not a softmax.
     """
     h, lq, d = q.shape
     lkv = k.shape[1]
@@ -199,6 +214,7 @@ def qknorm_attention(
         valid_len=valid_len,
         track_max=return_max_logit,
         fuse_rope=fuse_rope,
+        ablate_exp=ablate_exp,
     )
     in_specs = [
         pl.BlockSpec((1, block_q, d), lambda h, i, j: (h, i, 0), memory_space=pltpu.VMEM),
@@ -244,7 +260,7 @@ def qknorm_attention(
         cost_estimate=pl.CostEstimate(
             flops=4 * h * lq * lkv * d,
             bytes_accessed=h * (lq + lkv) * d * 4,
-            transcendentals=h * lq * lkv,
+            transcendentals=0 if ablate_exp else h * lq * lkv,
         ),
         interpret=interpret,
     )(*operands)

@@ -683,10 +683,14 @@ class FluxPipeline:
                 from . import offload as offload_mod
 
                 fns, tops, dbl, sgl = self._ensure_stream_state()
+                retain_gb = self.config.offload_retain_gb
                 img = offload_mod.streamed_denoise(
                     fns, tops, dbl, sgl, self.device_flux,
                     img, img_ids, txt, txt_ids, vec, timesteps, guidance,
                     run_cfg, progress=not silent,
+                    retain_bytes=(
+                        None if retain_gb is None else int(retain_gb * 1024**3)
+                    ),
                 )
             else:
                 # silent (server) mode: fused whole-loop scan — fastest. Interactive

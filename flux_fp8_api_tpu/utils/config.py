@@ -124,6 +124,12 @@ class ModelSpec(BaseModel):
     # False restores the whole-tree round trip (calibration and mesh serving
     # always use it).
     stream_flow_offload: bool = True
+    # HBM budget (GiB) for blocks RETAINED on device between denoise steps when
+    # streaming. None retains everything (right whenever the quantized tree fits a
+    # 16GB chip). A finite budget keeps the leading blocks resident up to the cap
+    # and re-streams the rest every step — how a flow LARGER than HBM (e.g. 24GB
+    # bf16 flux-dev) runs on one chip at all: transfer-bound but correct.
+    offload_retain_gb: Optional[float] = None
     # Same idea for the offloaded T5-XXL: stream its 24 stacked blocks host→HBM one
     # layer ahead of compute (models/t5.py t5_encode_streamed) instead of moving the
     # whole 4.7B tree before each encode and back after. No-op unless

@@ -279,6 +279,55 @@ class TestStreamedOffload:
         pipe.generate(**kwargs)  # frozen: streams
         assert pipe._stream_state is not None
 
+    def test_retain_budget_matches_full_retention(self):
+        """retain_bytes caps resident block weights (the oversized-tree mode the
+        full-scale bf16 fidelity ground truth runs through): a zero budget
+        (re-stream everything, every step) and a mid budget (retain a prefix)
+        must both produce the retain-all result bit-for-bit — same jits, same
+        values, only the device_put schedule differs."""
+        from flux_fp8_api_tpu import offload as offload_mod
+
+        pipe = make_pipeline(flow_dtype="float32")
+        cfg = pipe.model_cfg
+        fns = offload_mod.make_stream_fns(cfg)
+        tops, dbl, sgl = offload_mod.split_flow_params(pipe.model_params)
+        dev = jax.devices()[0]
+        tops_dev = jax.device_put(tops, dev)
+        b, tokens = 1, 16
+        img = jax.random.normal(jax.random.PRNGKey(0), (b, tokens, cfg.in_channels), jnp.float32)
+        from flux_fp8_api_tpu.ops.packing import make_img_ids, make_txt_ids
+
+        img_ids = make_img_ids(8, 4, b)
+        txt = jax.random.normal(jax.random.PRNGKey(1), (b, 8, cfg.context_in_dim), jnp.float32)
+        txt_ids = make_txt_ids(8, b)
+        y = jax.random.normal(jax.random.PRNGKey(2), (b, cfg.vec_in_dim), jnp.float32)
+        ts = jnp.linspace(1.0, 0.0, 3, jnp.float32)
+
+        def run(retain_bytes):
+            return np.asarray(
+                offload_mod.streamed_denoise(
+                    fns, tops_dev, dbl, sgl, dev,
+                    jnp.array(img, copy=True), img_ids, txt, txt_ids, y, ts, 3.5,
+                    cfg, retain_bytes=retain_bytes,
+                ),
+                np.float32,
+            )
+
+        ref = run(None)
+        one_slice = offload_mod.slice_nbytes(dbl)
+        np.testing.assert_array_equal(run(0), ref)
+        np.testing.assert_array_equal(run(2 * one_slice + 1), ref)
+
+    def test_offload_retain_gb_config_streams(self):
+        pipe = make_pipeline(
+            flow_dtype="float32", offload_flow=True, offload_retain_gb=0.0
+        )
+        kwargs = dict(prompt="a cat", width=64, height=64, num_steps=2, seed=3, silent=True)
+        ref = decode_jpeg(make_pipeline(flow_dtype="float32").generate(**kwargs))
+        out = decode_jpeg(pipe.generate(**kwargs))
+        assert pipe._stream_state is not None
+        assert np.mean(np.abs(out.astype(np.int16) - ref.astype(np.int16))) < 0.5
+
     def test_lora_invalidates_stream_state(self, tmp_path):
         from flux_fp8_api_tpu.utils.safetensors_io import save_safetensors
 
