@@ -35,14 +35,15 @@ CALLS_PER_STEP = 19 + 38  # one joint attention per double + single block
 
 
 def ablate(l: int, iters: int = 24):
-    bq, bkv = _pick_blocks(l)
+    bq, bkv, const = _pick_blocks(l)
+    blocks = (bq, bkv, const)
     kw = dict(folded_heads=HEADS, head_dim=HEAD_DIM, iters=iters)
     t = {
-        "full": benchmark_blocks(l, (bq, bkv), **kw),
-        "no_exp": benchmark_blocks(l, (bq, bkv), ablate_exp=True, **kw),
-        "no_rope": benchmark_blocks(l, (bq, bkv), fuse_rope=False, **kw),
+        "full": benchmark_blocks(l, blocks, **kw),
+        "no_exp": benchmark_blocks(l, blocks, ablate_exp=True, **kw),
+        "no_rope": benchmark_blocks(l, blocks, fuse_rope=False, **kw),
         "matmul_only": benchmark_blocks(
-            l, (bq, bkv), fuse_rope=False, ablate_exp=True, **kw
+            l, blocks, fuse_rope=False, ablate_exp=True, **kw
         ),
     }
     flops = 4 * HEADS * l * l * HEAD_DIM
@@ -50,6 +51,7 @@ def ablate(l: int, iters: int = 24):
     return {
         "L": l,
         "blocks": [bq, bkv],
+        "const_tables": const,
         "ms": {k: round(v * 1e3, 3) for k, v in t.items()},
         "roofline_ms": round(roofline * 1e3, 3),
         "exp_cost_ms": round((t["full"] - t["no_exp"]) * 1e3, 3),

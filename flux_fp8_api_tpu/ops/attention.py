@@ -29,20 +29,27 @@ def _sdpa_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     return jax.nn.dot_product_attention(q, k, v, implementation="xla").astype(dtype)
 
 
-# Measured-fastest (block_q, block_kv) per joint sequence length — TPU v5e, rope
-# fused, 24 folded heads (ablations in CLAUDE.md round-2 notes). The ranking is not
-# monotone in block size (e.g. at L=2816 square 704² beats 704×1408, while at L=4608
-# rectangular 768×1536 beats 1152²), so the common serving shapes are pinned here.
+# Measured-fastest (block_q, block_kv, const_tables) per joint sequence length —
+# TPU v5e, rope fused, 24 folded heads (ablations in CLAUDE.md round-2 notes +
+# round-4 const-tables sweep). The ranking is not monotone in block size (e.g. at
+# L=2816 square 704² beats 704×1408, while at L=4608 rectangular 768×1536 beats
+# 1152²), so the common serving shapes are pinned here. The third element picks
+# whether the rope tables ride a constant index map (whole-table VMEM-resident,
+# fetched once per call) or stream per grid step — also shape-dependent: the
+# resident tables bought −0.6 ms/call at L=2816 but lost slightly at L=3392.
 _QKNORM_BLOCKS_MEASURED = {
-    4608: (768, 1536),  # 1024×1024 + 512 txt   2.61 ms/call (vs 2.74 square)
-    3392: (848, 1696),  # 1024×720  + 512       1.94 ms/call (vs 2.54 at (512,512)+mask)
-    2816: (704, 704),   # 768×768   + 512       1.76 ms/call (vs 2.76 at (256,256))
-    4352: (1088, 2176), # 1024×1024 + 256 (schnell)  2.60 (square 1088² is 2.64)
-    2560: (640, 1280),  # 768×768   + 256 (schnell)  1.50 (square 1280² is 1.58)
-    1536: (512, 1536),  # 512×512   + 512            1.13 (square 768² is 1.22)
-    # UI presets, autotuner-measured on v5e (round 3; autotune_blocks candidates):
-    4464: (744, 1488),  # 832×1216/1216×832 + 512    3.09 ms/call (square 744² is 3.28)
-    4544: (1136, 2272), # 1344×768  + 512            2.95 ms/call (square 1136² is 3.01)
+    4608: (768, 1536, False),  # 1024×1024 + 512 txt  2.61 ms (full-kv const (1536,4608,T): 2.69)
+    3392: (848, 1696, False),  # 1024×720  + 512      1.94 ms (const probes 1.97-2.16: all lose)
+    2816: (1408, 2816, True),  # 768×768   + 512      1.67 ms (was 2.62 @(704,704) streamed −36%;
+                               #   full-kv block kills the per-q-block k/v re-DMA −0.76ms,
+                               #   resident tables another −0.15; 2816² measured 1.63 = tie,
+                               #   half-q keeps the f32 scores tile at 16MB not 32)
+    4352: (1088, 2176, False), # 1024×1024 + 256 (schnell)  2.60 (full-kv const 2.69)
+    2560: (640, 1280, False),  # 768×768   + 256 (schnell)  1.50 (full-kv probes 1.70-1.72)
+    1536: (512, 1536, False),  # 512×512   + 512            1.13 (const 1.33)
+    # UI presets, autotuner-measured on v5e (round 3 + round-4 const sweep):
+    4464: (744, 4464, True),   # 832×1216/1216×832 + 512    2.81 ms (streamed (744,1488): 3.09)
+    4544: (1136, 4544, True),  # 1344×768  + 512            2.79 ms (streamed (1136,2272): 2.95)
 }
 
 
@@ -60,27 +67,36 @@ _TUNED_BLOCKS = {}
 _TUNED_BLOCKS_RECT = {}
 
 
+def _norm_entry(blocks):
+    """(bq, bkv[, const]) → canonical (bq, bkv, const) 3-tuple (const defaults
+    False — the behavior every pre-round-4 persisted table encoded)."""
+    const = bool(blocks[2]) if len(blocks) > 2 else False
+    return int(blocks[0]), int(blocks[1]), const
+
+
 def register_tuned_blocks(l: int, blocks) -> None:
-    _TUNED_BLOCKS[int(l)] = (int(blocks[0]), int(blocks[1]))
+    _TUNED_BLOCKS[int(l)] = _norm_entry(blocks)
 
 
 def register_tuned_blocks_rect(lq: int, lkv: int, blocks) -> None:
-    _TUNED_BLOCKS_RECT[(int(lq), int(lkv))] = (int(blocks[0]), int(blocks[1]))
+    _TUNED_BLOCKS_RECT[(int(lq), int(lkv))] = _norm_entry(blocks)
 
 
 def _pick_blocks(l: int):
-    """Block pair for a joint seq of length l: measured table first; then the
-    warmup-autotuned table; else the largest square divisor ≤1280 (multiple of 8 —
-    every ablated shape ran within a few % of its best there, and exact division
-    beats tail masking); else (512, 512) + in-kernel tail masking."""
+    """(block_q, block_kv, const_tables) for a joint seq of length l: measured
+    table first; then the warmup-autotuned table; else the largest square divisor
+    ≤1280 (multiple of 8 — every ablated shape ran within a few % of its best
+    there, and exact division beats tail masking); else (512, 512) + in-kernel
+    tail masking. Untable'd shapes default const_tables=False (streamed rope
+    tables) — the measured sweep shows residency is not uniformly a win."""
     if l in _QKNORM_BLOCKS_MEASURED:
         return _QKNORM_BLOCKS_MEASURED[l]
     if l in _TUNED_BLOCKS:
         return _TUNED_BLOCKS[l]
     for d in range(1280, 255, -8):
         if l % d == 0:
-            return d, d
-    return 512, 512
+            return d, d, False
+    return 512, 512, False
 
 
 def _largest_divisor(l: int, cap: int) -> int:
@@ -94,14 +110,14 @@ def _largest_divisor(l: int, cap: int) -> int:
 
 
 def _pick_blocks_rect(lq: int, lkv: int):
-    """Blocks for a rectangular (sequence-parallel) call: q rows are a shard, kv is
-    the full sequence. Mesh-local measured entries win; square lengths otherwise
-    defer to the single-chip tables."""
+    """(block_q, block_kv, const_tables) for a rectangular (sequence-parallel)
+    call: q rows are a shard, kv is the full sequence. Mesh-local measured entries
+    win; square lengths otherwise defer to the single-chip tables."""
     if (lq, lkv) in _TUNED_BLOCKS_RECT:
         return _TUNED_BLOCKS_RECT[(lq, lkv)]
     if lq == lkv:
         return _pick_blocks(lq)
-    return _largest_divisor(lq, 768), _largest_divisor(lkv, 1536)
+    return _largest_divisor(lq, 768), _largest_divisor(lkv, 1536), False
 
 # Test/dev escape hatch: take the Pallas branch in interpret mode off-TPU, so the
 # shard_map tensor-parallel path is exercisable on the virtual CPU mesh (conftest).
@@ -166,12 +182,13 @@ def attention_core(
         def run(qh, kh, vh, cosq, sinq, cosk, sink):
             # block choice from LOCAL shapes: under shard_map the mapped fn traces
             # with per-device shards, so lq here is l/sp and lkv the full l
-            bq, bkv = _pick_blocks_rect(qh.shape[1], kh.shape[1])
+            bq, bkv, const = _pick_blocks_rect(qh.shape[1], kh.shape[1])
             rope = {}
             if cosk is not None:
                 rope = dict(cos=cosk, sin=sink, cos_q=cosq, sin_q=sinq)
             return qknorm_attention(
-                qh, kh, vh, sm_scale, block_q=bq, block_kv=bkv, interpret=interpret, **rope
+                qh, kh, vh, sm_scale, block_q=bq, block_kv=bkv,
+                const_tables=const, interpret=interpret, **rope,
             )
 
         if shard_axes or seq_axis:
@@ -291,7 +308,7 @@ def benchmark_blocks(
     from .attention_kernel import qknorm_attention
 
     lkv = l if lkv is None else int(lkv)
-    bq, bkv = int(blocks[0]), int(blocks[1])
+    bq, bkv, const = _norm_entry(blocks)
     sm_scale = 1.0 / (head_dim**0.5)
     ks = jax.random.split(jax.random.PRNGKey(17), 3)
     q = jax.random.normal(ks[0], (folded_heads, l, head_dim), dtype)
@@ -315,7 +332,8 @@ def benchmark_blocks(
             )
             o = qknorm_attention(
                 carry, k, v, sm_scale, block_q=bq, block_kv=bkv,
-                interpret=interpret, ablate_exp=ablate_exp, **rope_kw,
+                const_tables=const, interpret=interpret,
+                ablate_exp=ablate_exp, **rope_kw,
             )
             return o.astype(carry.dtype), None
 
@@ -346,6 +364,23 @@ def autotune_blocks(
         return {}
     timings = {}
     for cand in candidate_blocks(l):
+        cand = _norm_entry(cand)
+        timings[cand] = benchmark_blocks(
+            l, cand, folded_heads, head_dim, dtype, iters, interpret
+        )
+        if log is not None:
+            log(f"autotune L={l}: blocks {cand} → {timings[cand] * 1e3:.2f} ms/call")
+    # extra probes with VMEM-resident rope tables: the streamed winner's blocks,
+    # and its full-kv variant (block_kv = L — kills the per-q-block k/v re-DMA;
+    # the round-4 sweep's winners at L=2816/4464/4544 all have this shape). The
+    # effect is shape-dependent (−36% at L=2816, lose at L=3392/2560), so it must
+    # be measured, not assumed. Full-kv is skipped when the f32 scores tile alone
+    # would crowd VMEM (> 32MB of the 80MB raised limit).
+    best = min(timings, key=timings.get)
+    probes = [(best[0], best[1], True)]
+    if best[1] != l and best[0] * l * 4 <= 32 * 1024 * 1024:
+        probes.append((best[0], l, True))
+    for cand in probes:
         timings[cand] = benchmark_blocks(
             l, cand, folded_heads, head_dim, dtype, iters, interpret
         )
@@ -403,6 +438,22 @@ def autotune_blocks_local(
         return {}
     timings = {}
     for cand in candidate_blocks_rect(lq, lkv):
+        cand = _norm_entry(cand)
+        timings[cand] = benchmark_blocks(
+            lq, cand, folded_heads, head_dim, dtype, iters, interpret, lkv=lkv
+        )
+        if log is not None:
+            log(
+                f"autotune local ({lq}x{lkv}, {folded_heads} heads): "
+                f"blocks {cand} → {timings[cand] * 1e3:.2f} ms/call"
+            )
+    # winner re-probed with VMEM-resident rope tables + its full-kv variant
+    # (see autotune_blocks — the same shape-dependence applies to local shapes)
+    best = min(timings, key=timings.get)
+    probes = [(best[0], best[1], True)]
+    if best[1] != lkv and best[0] * lkv * 4 <= 32 * 1024 * 1024:
+        probes.append((best[0], lkv, True))
+    for cand in probes:
         timings[cand] = benchmark_blocks(
             lq, cand, folded_heads, head_dim, dtype, iters, interpret, lkv=lkv
         )
@@ -431,6 +482,8 @@ def save_tuned_blocks(path: str) -> None:
         parent = os.path.dirname(path)
         if parent:
             os.makedirs(parent, exist_ok=True)
+        # 3-element entries: [block_q, block_kv, const_tables]; loaders accept the
+        # pre-round-4 2-element form too (const defaults False)
         data = {str(l): list(b) for l, b in sorted(_TUNED_BLOCKS.items())}
         data.update(
             {f"{lq}x{lkv}": list(b) for (lq, lkv), b in sorted(_TUNED_BLOCKS_RECT.items())}
@@ -455,9 +508,9 @@ def load_tuned_blocks(path: str) -> int:
         for key, b in data.items():
             if "x" in key:
                 lq, lkv = key.split("x")
-                register_tuned_blocks_rect(int(lq), int(lkv), (int(b[0]), int(b[1])))
+                register_tuned_blocks_rect(int(lq), int(lkv), b)
             else:
-                register_tuned_blocks(int(key), (int(b[0]), int(b[1])))
+                register_tuned_blocks(int(key), b)
         return len(data)
     except (ValueError, KeyError, IndexError, TypeError, AttributeError, OSError):
         # AttributeError: valid JSON that isn't an object (e.g. a list) has no .items()

@@ -48,18 +48,19 @@ SHIFT = 20.0
 MAX_SAFE_LOGIT = 100.0
 
 
-def _rope_rotate(x_ref, cos_ref, sin_ref, out_dtype):
+def _rope_rotate(x_ref, cos, sin, out_dtype):
     """Half-split rope on a (block, d) tile, fully in VMEM registers (see ops/rope.py
     for the layout argument). f32 rotate, cast to the MXU feed dtype."""
     x = x_ref[0].astype(jnp.float32)
     half = x.shape[-1] // 2
     rotated = jnp.concatenate([-x[:, half:], x[:, :half]], axis=1)
-    return (x * cos_ref[:] + rotated * sin_ref[:]).astype(out_dtype)
+    return (x * cos + rotated * sin).astype(out_dtype)
 
 
 def _attn_kernel(
-    *refs, sm_scale: float, block_kv: int, valid_len: int,
+    *refs, sm_scale: float, block_q: int, block_kv: int, valid_len: int,
     track_max: bool = False, fuse_rope: bool = False, ablate_exp: bool = False,
+    const_tables: bool = False,
 ):
     # refs = (q, k, v, [cos_q, sin_q, cos_k, sin_k,] o, [m,] acc, den)
     q_ref, k_ref, v_ref = refs[:3]
@@ -80,8 +81,24 @@ def _attn_kernel(
             m_ref[:] = jnp.zeros_like(m_ref)
 
     if fuse_rope:
-        q = _rope_rotate(q_ref, cos_q_ref, sin_q_ref, q_ref.dtype)
-        k = _rope_rotate(k_ref, cos_k_ref, sin_k_ref, k_ref.dtype)
+        if const_tables:
+            # whole-table refs, fetched ONCE per call (constant index map): slice
+            # this step's rows in VMEM. Per-block table specs re-DMA (block, d)
+            # f32 cos/sin from HBM on every grid step. Whether residency wins is
+            # SHAPE-DEPENDENT (−0.15ms at L=2816 on top of the full-kv-block win,
+            # a loss at L=1536/2560) — the block tables / autotuner pick it per
+            # shape from measurement (docs/PERF.md round-4 const-tables sweep).
+            q_row = pl.program_id(1) * block_q
+            kv_row = kv_idx * block_kv
+            cq = cos_q_ref[pl.ds(q_row, block_q), :]
+            sq = sin_q_ref[pl.ds(q_row, block_q), :]
+            ck = cos_k_ref[pl.ds(kv_row, block_kv), :]
+            sk = sin_k_ref[pl.ds(kv_row, block_kv), :]
+        else:
+            cq, sq = cos_q_ref[:], sin_q_ref[:]
+            ck, sk = cos_k_ref[:], sin_k_ref[:]
+        q = _rope_rotate(q_ref, cq, sq, q_ref.dtype)
+        k = _rope_rotate(k_ref, ck, sk, k_ref.dtype)
     else:
         q = q_ref[0]  # (bq, d)
         k = k_ref[0]  # (bkv, d)
@@ -134,10 +151,33 @@ def _attn_kernel(
         o_ref[0] = (acc_ref[:] / jnp.maximum(den_ref[:], 1e-30)).astype(o_ref.dtype)
 
 
+def _vmem_estimate(
+    lq: int, lkv: int, block_q: int, block_kv: int, d: int,
+    const_tables: bool, fuse_rope: bool,
+) -> int:
+    """Rough per-core VMEM bytes for one kernel instance: rope tables (whole,
+    fp32, when const; double-buffered per-block otherwise), double-buffered
+    q/k/v/out bf16 blocks, the f32 scores tile, and the f32 accumulator scratch.
+    Used only to decide whether Mosaic's default scoped-VMEM limit suffices —
+    intentionally conservative (2× buffering on every streamed operand)."""
+    est = 0
+    if fuse_rope:
+        if const_tables:
+            est += (lq + lkv) * d * 4 * 2  # whole cos/sin, fetched once
+        else:
+            est += (block_q + block_kv) * d * 4 * 2 * 2  # per-step, double-buffered
+    est += (block_q + 2 * block_kv) * d * 2 * 2  # q/k/v blocks, double-buffered
+    est += block_q * d * 2 * 2  # out block
+    est += block_q * block_kv * 4  # scores tile (f32)
+    est += block_q * d * 4 + block_q * 4  # acc + den scratch
+    return est
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "sm_scale", "block_q", "block_kv", "interpret", "return_max_logit", "ablate_exp",
+        "sm_scale", "block_q", "block_kv", "interpret", "return_max_logit",
+        "ablate_exp", "const_tables",
     ),
 )
 def qknorm_attention(
@@ -154,6 +194,7 @@ def qknorm_attention(
     cos_q: jnp.ndarray = None,
     sin_q: jnp.ndarray = None,
     ablate_exp: bool = False,
+    const_tables: bool = None,
 ) -> jnp.ndarray:
     """(H, Lq, D) q × (H, Lkv, D) k/v → (H, Lq, D) attention output (batch folded
     into heads). Lq == Lkv in single-chip serving; they differ under sequence/context
@@ -207,14 +248,25 @@ def qknorm_attention(
             sin = jnp.concatenate([sin, jnp.zeros((pad_kv, d), sin.dtype)], axis=0)
         lkv = lkv + pad_kv
     grid = (h, lq // block_q, lkv // block_kv)
+    # const_tables=True keeps the whole rope tables VMEM-resident (fetched once
+    # per call — constant index map) instead of streaming (block, d) slices per
+    # grid step. Measured shape-dependent on v5e: part of the −36% win at L=2816
+    # (with a full-kv block), a LOSS at L=1536/2560 — so the default is streamed
+    # and the per-shape measured tables / warmup autotuner (ops/attention.py)
+    # decide. Callers passing explicit blocks get the conservative default too.
+    if const_tables is None:
+        const_tables = False
+    const_tables = bool(fuse_rope and const_tables)
     kern = functools.partial(
         _attn_kernel,
         sm_scale=sm_scale,
+        block_q=block_q,
         block_kv=block_kv,
         valid_len=valid_len,
         track_max=return_max_logit,
         fuse_rope=fuse_rope,
         ablate_exp=ablate_exp,
+        const_tables=const_tables,
     )
     in_specs = [
         pl.BlockSpec((1, block_q, d), lambda h, i, j: (h, i, 0), memory_space=pltpu.VMEM),
@@ -223,12 +275,20 @@ def qknorm_attention(
     ]
     operands = [q, k, v]
     if fuse_rope:
-        in_specs += [
-            pl.BlockSpec((block_q, d), lambda h, i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_q, d), lambda h, i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_kv, d), lambda h, i, j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_kv, d), lambda h, i, j: (j, 0), memory_space=pltpu.VMEM),
-        ]
+        if const_tables:
+            in_specs += [
+                pl.BlockSpec((lq, d), lambda h, i, j: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((lq, d), lambda h, i, j: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((lkv, d), lambda h, i, j: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((lkv, d), lambda h, i, j: (0, 0), memory_space=pltpu.VMEM),
+            ]
+        else:
+            in_specs += [
+                pl.BlockSpec((block_q, d), lambda h, i, j: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_q, d), lambda h, i, j: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_kv, d), lambda h, i, j: (j, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_kv, d), lambda h, i, j: (j, 0), memory_space=pltpu.VMEM),
+            ]
         operands += [
             cos_q.astype(jnp.float32), sin_q.astype(jnp.float32),
             cos.astype(jnp.float32), sin.astype(jnp.float32),
@@ -256,6 +316,19 @@ def qknorm_attention(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # Mosaic's default scoped-VMEM limit is 16MB; resident rope tables
+            # (~9.4MB f32 at L=4608) and/or full-kv blocks can exceed it. v5e has
+            # 128MB VMEM; 80MB leaves headroom for XLA's buffers around the call.
+            # Raised ONLY when the estimate below says the default won't fit: a
+            # larger limit changes Mosaic's double-buffering decisions and was
+            # measured to cost up to +60% on small configs that fit the default
+            # (L=1536 const-tables: 1.83ms at 80MB vs 1.13 streamed at default).
+            **(
+                {"vmem_limit_bytes": 80 * 1024 * 1024}
+                if _vmem_estimate(lq, lkv, block_q, block_kv, d, const_tables, fuse_rope)
+                > 14 * 1024 * 1024
+                else {}
+            ),
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * h * lq * lkv * d,

@@ -107,6 +107,18 @@ class TestFusedRope:
         )
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
+    def test_const_tables_matches_streamed_tables(self):
+        """The VMEM-resident whole-table path (default at serving lengths) and the
+        per-block streamed-table fallback (very long sequences) are the same math —
+        outputs must match bit-for-bit, including with tail padding."""
+        for l in (256, 200):
+            q, k, v, cos, sin = self._inputs(l=l)
+            scale = 32**-0.5
+            kw = dict(block_q=128, block_kv=128, interpret=True, cos=cos, sin=sin)
+            const = qknorm_attention(q, k, v, scale, const_tables=True, **kw)
+            streamed = qknorm_attention(q, k, v, scale, const_tables=False, **kw)
+            np.testing.assert_array_equal(np.asarray(const), np.asarray(streamed))
+
     def test_fused_rope_with_stats(self):
         q, k, v, cos, sin = self._inputs()
         out, m = qknorm_attention(
@@ -302,12 +314,15 @@ class TestBlockAutotuner:
         try:
             # unpinned length: heuristic → largest square divisor (4464/4544 are
             # pinned since the round-3 autotune run, so use 4000 here)
-            assert attn._pick_blocks(4000) == (1000, 1000)
+            assert attn._pick_blocks(4000) == (1000, 1000, False)
             attn.register_tuned_blocks(4000, (1000, 2000))
-            assert attn._pick_blocks(4000) == (1000, 2000)
+            assert attn._pick_blocks(4000) == (1000, 2000, False)
+            # 3-element registrations carry the const_tables flag
+            attn.register_tuned_blocks(4000, (1000, 2000, True))
+            assert attn._pick_blocks(4000) == (1000, 2000, True)
             # the hand-measured table stays authoritative over tuned entries
             attn.register_tuned_blocks(4608, (1152, 1152))
-            assert attn._pick_blocks(4608) == (768, 1536)
+            assert attn._pick_blocks(4608) == (768, 1536, False)
         finally:
             attn._TUNED_BLOCKS.clear()
 
@@ -315,12 +330,14 @@ class TestBlockAutotuner:
         attn = self._clear()
         path = str(tmp_path / "attn_blocks.json")
         try:
-            attn.register_tuned_blocks(4464, (744, 1488))
-            attn.register_tuned_blocks(4544, (1136, 2272))
+            # unpinned lengths (4464/4544 moved into the measured table in round 4)
+            attn.register_tuned_blocks(4004, (572, 1001))
+            attn.register_tuned_blocks(4040, (1010, 2020, True))
             attn.save_tuned_blocks(path)
             attn._TUNED_BLOCKS.clear()
             assert attn.load_tuned_blocks(path) == 2
-            assert attn._pick_blocks(4544) == (1136, 2272)
+            assert attn._pick_blocks(4040) == (1010, 2020, True)
+            assert attn._pick_blocks(4004) == (572, 1001, False)
             # corrupt file → ignored, 0 entries
             with open(path, "w") as f:
                 f.write("{not json")
@@ -349,7 +366,14 @@ class TestBlockAutotuner:
                 1024, folded_heads=2, head_dim=64, dtype=jnp.float32,
                 iters=2, interpret=True,
             )
-            assert set(timings) == set(attn.candidate_blocks(1024))
+            from flux_fp8_api_tpu.ops.attention import _norm_entry
+
+            # every block candidate measured streamed + ONE const-tables re-probe
+            normed = {_norm_entry(c) for c in attn.candidate_blocks(1024)}
+            assert normed <= set(timings)
+            # streamed winner re-probed const (+ a full-kv const variant when the
+            # winner's kv block isn't already full-kv)
+            assert 1 <= sum(1 for c in timings if c[2]) <= 2
             assert all(t > 0 for t in timings.values())
             assert attn._pick_blocks(1024) == min(timings, key=timings.get)
             # already-tuned length: no re-measure
@@ -388,14 +412,14 @@ class TestMeshLocalAutotuner:
         attn = self._clear()
         try:
             # rect: heuristic divisors before tuning
-            assert attn._pick_blocks_rect(2304, 4608) == (768, 1536)
+            assert attn._pick_blocks_rect(2304, 4608) == (768, 1536, False)
             attn.register_tuned_blocks_rect(2304, 4608, (576, 2304))
-            assert attn._pick_blocks_rect(2304, 4608) == (576, 2304)
+            assert attn._pick_blocks_rect(2304, 4608) == (576, 2304, False)
             # square local shape: a rect entry beats even the hand-measured table
             # (it was measured at the LOCAL head count, which the table wasn't)
-            assert attn._pick_blocks_rect(4608, 4608) == (768, 1536)
+            assert attn._pick_blocks_rect(4608, 4608) == (768, 1536, False)
             attn.register_tuned_blocks_rect(4608, 4608, (1152, 1152))
-            assert attn._pick_blocks_rect(4608, 4608) == (1152, 1152)
+            assert attn._pick_blocks_rect(4608, 4608) == (1152, 1152, False)
         finally:
             self._clear()
 
@@ -406,7 +430,11 @@ class TestMeshLocalAutotuner:
                 512, 1024, folded_heads=2, head_dim=64, dtype=jnp.float32,
                 iters=2, interpret=True,
             )
-            assert set(timings) == set(attn.candidate_blocks_rect(512, 1024))
+            from flux_fp8_api_tpu.ops.attention import _norm_entry
+
+            normed = {_norm_entry(c) for c in attn.candidate_blocks_rect(512, 1024)}
+            assert normed <= set(timings)
+            assert 1 <= sum(1 for c in timings if c[2]) <= 2
             assert all(t > 0 for t in timings.values())
             assert attn._pick_blocks_rect(512, 1024) == min(timings, key=timings.get)
             # already-registered shape: no re-measure
@@ -423,7 +451,7 @@ class TestMeshLocalAutotuner:
             attn.save_tuned_blocks(path)
             self._clear()
             assert attn.load_tuned_blocks(path) == 2
-            assert attn._pick_blocks(4000) == (1000, 2000)
-            assert attn._pick_blocks_rect(2304, 4608) == (576, 2304)
+            assert attn._pick_blocks(4000) == (1000, 2000, False)
+            assert attn._pick_blocks_rect(2304, 4608) == (576, 2304, False)
         finally:
             self._clear()

@@ -218,25 +218,25 @@ class TestAttentionBlockChooser:
     def test_measured_serving_shapes(self):
         from flux_fp8_api_tpu.ops.attention import _pick_blocks
 
-        assert _pick_blocks(4608) == (768, 1536)  # 1024x1024
-        assert _pick_blocks(3392) == (848, 1696)  # 1024x720
-        assert _pick_blocks(2816) == (704, 704)   # 768x768
+        assert _pick_blocks(4608) == (768, 1536, False)  # 1024x1024
+        assert _pick_blocks(3392) == (848, 1696, False)  # 1024x720
+        assert _pick_blocks(2816) == (1408, 2816, True)  # 768x768 (full-kv const wins)
 
     def test_schnell_and_512_shapes_pinned(self):
         from flux_fp8_api_tpu.ops.attention import _pick_blocks
 
-        assert _pick_blocks(4352) == (1088, 2176)  # schnell 1024x1024
-        assert _pick_blocks(2560) == (640, 1280)   # schnell 768x768
-        assert _pick_blocks(1536) == (512, 1536)   # 512x512
+        assert _pick_blocks(4352) == (1088, 2176, False)  # schnell 1024x1024
+        assert _pick_blocks(2560) == (640, 1280, False)   # schnell 768x768
+        assert _pick_blocks(1536) == (512, 1536, False)   # 512x512
 
     def test_square_divisor_fallback(self):
         from flux_fp8_api_tpu.ops.attention import _pick_blocks
 
-        bq, bkv = _pick_blocks(3584)  # 1024x768 + 512 txt: unmeasured shape
-        assert bq == bkv == 896 and 3584 % bq == 0
+        bq, bkv, const = _pick_blocks(3584)  # 1024x768 + 512 txt: unmeasured shape
+        assert bq == bkv == 896 and 3584 % bq == 0 and const is False
 
     def test_masked_fallback_when_nothing_divides(self):
         from flux_fp8_api_tpu.ops.attention import _pick_blocks
 
-        assert _pick_blocks(4104) == (456, 456)  # 8*513: largest square divisor
-        assert _pick_blocks(37) == (512, 512)    # prime-ish tiny: tail masking
+        assert _pick_blocks(4104) == (456, 456, False)  # 8*513: largest square divisor
+        assert _pick_blocks(37) == (512, 512, False)    # prime-ish tiny: tail masking

@@ -297,7 +297,7 @@ class TestStreamedOffload:
         img = jax.random.normal(jax.random.PRNGKey(0), (b, tokens, cfg.in_channels), jnp.float32)
         from flux_fp8_api_tpu.ops.packing import make_img_ids, make_txt_ids
 
-        img_ids = make_img_ids(8, 4, b)
+        img_ids = make_img_ids(8, 8, b)  # (8/2)(8/2) = 16 ids = `tokens`
         txt = jax.random.normal(jax.random.PRNGKey(1), (b, 8, cfg.context_in_dim), jnp.float32)
         txt_ids = make_txt_ids(8, b)
         y = jax.random.normal(jax.random.PRNGKey(2), (b, cfg.vec_in_dim), jnp.float32)
