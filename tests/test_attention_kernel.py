@@ -119,6 +119,32 @@ class TestFusedRope:
             streamed = qknorm_attention(q, k, v, scale, const_tables=False, **kw)
             np.testing.assert_array_equal(np.asarray(const), np.asarray(streamed))
 
+    def test_const_tables_rectangular_sp_shard(self):
+        """Const tables on the sequence-parallel shape (lq < lkv, separate q-side
+        tables covering only this shard's rows) — the in-kernel dynamic row slice
+        must index q tables by the q grid position and k tables by the kv position,
+        which square tests cannot distinguish."""
+        lkv, lq = 256, 128  # one sp=2 shard: q rows [128, 256) of the joint seq
+        q_full, k, v, cos, sin = self._inputs(l=lkv)
+        q = q_full[:, lq:, :]
+        cos_q, sin_q = cos[lq:], sin[lq:]
+        scale = 32**-0.5
+        kw = dict(
+            block_q=64, block_kv=128, interpret=True,
+            cos=cos, sin=sin, cos_q=cos_q, sin_q=sin_q,
+        )
+        const = qknorm_attention(q, k, v, scale, const_tables=True, **kw)
+        streamed = qknorm_attention(q, k, v, scale, const_tables=False, **kw)
+        np.testing.assert_array_equal(np.asarray(const), np.asarray(streamed))
+        # and both equal the corresponding rows of the full unsharded call
+        full = qknorm_attention(
+            q_full, k, v, scale, block_q=64, block_kv=128, interpret=True,
+            cos=cos, sin=sin,
+        )
+        np.testing.assert_allclose(
+            np.asarray(const), np.asarray(full)[:, lq:], rtol=2e-5, atol=2e-5
+        )
+
     def test_fused_rope_with_stats(self):
         q, k, v, cos, sin = self._inputs()
         out, m = qknorm_attention(
