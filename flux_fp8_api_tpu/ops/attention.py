@@ -378,7 +378,8 @@ def autotune_blocks(
     # would crowd VMEM (> 32MB of the 80MB raised limit).
     best = min(timings, key=timings.get)
     probes = [(best[0], best[1], True)]
-    if best[1] != l and best[0] * l * 4 <= 32 * 1024 * 1024:
+    # full-kv block must itself be Mosaic-tileable ((8, 128) VMEM tiles)
+    if best[1] != l and l % 8 == 0 and best[0] * l * 4 <= 32 * 1024 * 1024:
         probes.append((best[0], l, True))
     for cand in probes:
         timings[cand] = benchmark_blocks(
@@ -451,7 +452,7 @@ def autotune_blocks_local(
     # (see autotune_blocks — the same shape-dependence applies to local shapes)
     best = min(timings, key=timings.get)
     probes = [(best[0], best[1], True)]
-    if best[1] != lkv and best[0] * lkv * 4 <= 32 * 1024 * 1024:
+    if best[1] != lkv and lkv % 8 == 0 and best[0] * lkv * 4 <= 32 * 1024 * 1024:
         probes.append((best[0], lkv, True))
     for cand in probes:
         timings[cand] = benchmark_blocks(
