@@ -61,16 +61,20 @@ def host_flux_params(cfg, seed: int = 0):
 
     from flux_fp8_api_tpu.ops.quant import Linear
 
+    def uniform(shape, bound):
+        # in-place scale/shift: at 12B params on this box's single core, the
+        # eager `(x*2-1)*bound` form's extra full-array temps tripled build time
+        x = rng.random(shape, np.float32)
+        x *= 2.0 * bound
+        x -= bound
+        return x.astype(bf16)
+
     def lin(in_f, out_f, stacked=None, bias=True):
         lead = (stacked,) if stacked else ()
         bound = (1.0 / in_f) ** 0.5
-        k = (rng.random((*lead, in_f, out_f), np.float32) * 2.0 - 1.0) * (bound * 3**0.5)
-        b = (rng.random((*lead, out_f), np.float32) * 2.0 - 1.0) * bound if bias else None
-        return Linear(
-            kernel=k.astype(bf16),
-            bias=b.astype(bf16) if b is not None else None,
-            kind="float",
-        )
+        k = uniform((*lead, in_f, out_f), bound * 3**0.5)
+        b = uniform((*lead, out_f), bound) if bias else None
+        return Linear(kernel=k, bias=b, kind="float")
 
     def embedder(in_f, hs):
         return {"in_layer": lin(in_f, hs), "out_layer": lin(hs, hs)}

@@ -159,6 +159,7 @@ def streamed_denoise(
     cfg: FluxStatic,
     progress: bool = False,
     retain_bytes: Optional[int] = None,
+    sync_every: int = 8,
 ) -> jnp.ndarray:
     """Run the full denoise loop with per-block weight streaming: step 1 overlaps
     each block's host→HBM copy with the previous block's compute (double-buffered
@@ -172,6 +173,18 @@ def streamed_denoise(
     their compute dispatch — a rolling ~2-slice window). This is how a tree LARGER
     than the chip's HBM runs at all (e.g. the 24GB bf16 flux-dev ground truth for
     the fidelity gate on a 16GB chip): transfer-bound, but correct and bounded.
+
+    ``sync_every`` is HOST-memory backpressure: JAX dispatch is fully async, so
+    with nothing ever blocking, the host loop enqueues every ``device_put`` of
+    every step up front and each one pins its transient host slice until the
+    transfer executes — on a slow link the backlog grows to (steps × streamed
+    bytes) and OOMs the HOST (measured: a 24GB-tree/8-step run was oom-killed at
+    119GB RSS). After every ``sync_every`` dispatched puts, a 1-element fetch of
+    the newest activation forces the queue to drain to the compute frontier,
+    bounding the pinned backlog to ~``sync_every`` slices. Steps that issue no
+    puts (fully-retained steady state — the production serving path) never sync
+    and pay zero overhead; a sync costs one link round-trip (~32ms here), well
+    under the transfer time it bounds.
 
     Matches :func:`..sampling._denoise_scan` numerically (same ops, different jit
     boundaries — float reassociation only; tests pin the closeness)."""
@@ -211,6 +224,7 @@ def streamed_denoise(
     # retained blocks, every step for streamed ones) and dropped when this
     # function returns
     dev: List = [None] * n
+    puts_since_sync = 0
     for t_curr, t_prev in steps:
         t_vec = jnp.full((b,), t_curr, jnp.float32)
         img_e, txt_e, vec_silu, cos, sin = fns["pre"](
@@ -219,12 +233,14 @@ def streamed_denoise(
         x = None
         if dev[0] is None:
             dev[0] = jax.device_put(slice_at(0), device)
+            puts_since_sync += 1
         for j in range(n):
             # prefetch the next slice BEFORE dispatching this block's compute —
             # both are async, so the copy overlaps the matmuls (every step for
             # streamed blocks; once for retained ones)
             if j + 1 < n and dev[j + 1] is None:
                 dev[j + 1] = jax.device_put(slice_at(j + 1), device)
+                puts_since_sync += 1
             if j < n_dbl:
                 img_e, txt_e = fns["double"](dev[j], img_e, txt_e, vec_silu, cos, sin)
                 if j == n_dbl - 1:
@@ -235,5 +251,12 @@ def streamed_denoise(
                 # compute is dispatched — JAX keeps the buffer alive until it
                 # completes; dropping the reference frees the HBM right after
                 dev[j] = None
+            if sync_every and puts_since_sync >= sync_every:
+                # drain the dispatch queue to the compute frontier so pinned
+                # host slices can't pile up (see docstring; block_until_ready
+                # is a no-op through the tunnel — fetch a value instead)
+                cur = img_e if j < n_dbl else x
+                jax.device_get(cur[:1, :1, :1])
+                puts_since_sync = 0
         img = fns["final"](tops_dev, x, vec_silu, img, t_curr, t_prev)
     return img

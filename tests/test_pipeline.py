@@ -318,6 +318,43 @@ class TestStreamedOffload:
         np.testing.assert_array_equal(run(0), ref)
         np.testing.assert_array_equal(run(2 * one_slice + 1), ref)
 
+    def test_sync_backpressure_is_value_neutral(self):
+        """sync_every drains the dispatch queue with 1-element fetches to bound
+        host RSS on oversized trees (measured: a 24GB/8-step ground-truth run was
+        oom-killed at 119GB without it); the fetches must not change a single bit
+        vs the unsynced schedule."""
+        from flux_fp8_api_tpu import offload as offload_mod
+
+        pipe = make_pipeline(flow_dtype="float32")
+        cfg = pipe.model_cfg
+        fns = offload_mod.make_stream_fns(cfg)
+        tops, dbl, sgl = offload_mod.split_flow_params(pipe.model_params)
+        dev = jax.devices()[0]
+        tops_dev = jax.device_put(tops, dev)
+        b = 1
+        img = jax.random.normal(jax.random.PRNGKey(0), (b, 16, cfg.in_channels), jnp.float32)
+        from flux_fp8_api_tpu.ops.packing import make_img_ids, make_txt_ids
+
+        img_ids = make_img_ids(8, 8, b)
+        txt = jax.random.normal(jax.random.PRNGKey(1), (b, 8, cfg.context_in_dim), jnp.float32)
+        txt_ids = make_txt_ids(8, b)
+        y = jax.random.normal(jax.random.PRNGKey(2), (b, cfg.vec_in_dim), jnp.float32)
+        ts = jnp.linspace(1.0, 0.0, 3, jnp.float32)
+
+        def run(sync_every):
+            # retain_bytes=0 re-streams every block every step → maximum puts →
+            # the sync path actually fires (sync_every=2 syncs mid-block-loop)
+            return np.asarray(
+                offload_mod.streamed_denoise(
+                    fns, tops_dev, dbl, sgl, dev,
+                    jnp.array(img, copy=True), img_ids, txt, txt_ids, y, ts, 3.5,
+                    cfg, retain_bytes=0, sync_every=sync_every,
+                ),
+                np.float32,
+            )
+
+        np.testing.assert_array_equal(run(2), run(0))
+
     def test_offload_retain_gb_config_streams(self):
         pipe = make_pipeline(
             flow_dtype="float32", offload_flow=True, offload_retain_gb=0.0
