@@ -89,7 +89,12 @@ def generate(args: GenerateArgs):
         # of this request's and that one's phases
         global _LAST_TIMINGS
         _LAST_TIMINGS = dict(getattr(app.state.model, "timings", {}))
-    return StreamingResponse(result, media_type="image/jpeg")
+    # X-Seed: the seed actually used (defaulted server-side when absent) — the
+    # reference Gradio UI's used-seed readback (main_gr.py:28-42), here as a
+    # header so the JPEG body stays a pure stream
+    return StreamingResponse(
+        result, media_type="image/jpeg", headers={"x-seed": str(args.seed)}
+    )
 
 
 @app.post("/lora", response_model=LoraLoadResponse)
@@ -132,6 +137,20 @@ def lora_action(args: LoraArgs):
         return JSONResponse(
             content={"status": "error", "message": str(e)}, status_code=500
         )
+
+
+@app.get("/")
+def index():
+    """Browser UI (webui.py — the wheel-free Gradio twin, same page the stdlib
+    server serves at /)."""
+    from fastapi.responses import Response
+
+    from .webui import render_index
+
+    return Response(
+        content=render_index(getattr(app.state, "model", None)),
+        media_type="text/html; charset=utf-8",
+    )
 
 
 @app.get("/health")

@@ -7,8 +7,11 @@ environments that have it (same schemas — both delegate to the pipeline).
 
 Endpoints (same request/response shapes as reference api.py:27-122):
 - POST /generate  {prompt, width, height, num_steps, guidance, seed, strength,
-                   init_image} → image/jpeg bytes
+                   init_image} → image/jpeg bytes (+ ``X-Seed``: the seed used,
+                   so clients get the reference UI's used-seed readback —
+                   reference main_gr.py:28-42 returns it alongside the image)
 - POST /lora      {action: load|unload, path, name, scale} → JSON status
+- GET  /          browser UI (webui.py — the wheel-free Gradio twin)
 - GET  /health, /metrics — TPU-stack extras
 
 A single lock serializes generate/lora (the reference relies on sync handlers for
@@ -71,7 +74,7 @@ class PipelineServer:
             # snapshot per-phase timings under the lock so /metrics never reads a
             # half-updated mix from the next in-flight request
             self.last_timings = dict(getattr(self.pipeline, "timings", {}))
-        return 200, "image/jpeg", out.getvalue()
+        return 200, "image/jpeg", out.getvalue(), {"x-seed": str(args["seed"])}
 
     def handle_lora(self, body: Dict[str, Any]):
         action = body.get("action", "load")
@@ -137,10 +140,12 @@ class PipelineServer:
             def log_message(self, fmt, *args):  # quiet
                 pass
 
-            def _send(self, status: int, ctype: str, payload: bytes):
+            def _send(self, status: int, ctype: str, payload: bytes, headers=None):
                 self.send_response(status)
                 self.send_header("content-type", ctype)
                 self.send_header("content-length", str(len(payload)))
+                for k, v in (headers or {}).items():
+                    self.send_header(k, v)
                 self.end_headers()
                 self.wfile.write(payload)
 
@@ -149,6 +154,11 @@ class PipelineServer:
                     self._send(*server.handle_health())
                 elif self.path == "/metrics":
                     self._send(*server.handle_metrics())
+                elif self.path in ("/", "/index.html"):
+                    from .webui import render_index
+
+                    self._send(200, "text/html; charset=utf-8",
+                               render_index(server.pipeline))
                 else:
                     self._send(404, "application/json", b'{"detail":"Not Found"}')
 

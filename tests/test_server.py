@@ -73,6 +73,48 @@ class TestServer:
         assert status == 200
         assert ctype == "image/jpeg"
 
+    def test_generate_x_seed_header(self, server):
+        """Used-seed readback (the Gradio twin's return value, main_gr.py run()):
+        explicit seed echoes back; omitted seed reports the server-chosen one."""
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/generate",
+            data=json.dumps({"prompt": "a cat", "width": 64, "height": 64,
+                             "num_steps": 1, "seed": 42}).encode(),
+            headers={"content-type": "application/json"}, method="POST",
+        )
+        resp = urllib.request.urlopen(req, timeout=300)
+        assert resp.headers.get("x-seed") == "42"
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/generate",
+            data=json.dumps({"prompt": "a cat", "width": 64, "height": 64,
+                             "num_steps": 1}).encode(),
+            headers={"content-type": "application/json"}, method="POST",
+        )
+        resp = urllib.request.urlopen(req, timeout=300)
+        assert int(resp.headers.get("x-seed")) >= 0
+
+    def test_index_serves_webui(self, server):
+        """GET / is the wheel-free browser UI (webui.py): one self-contained HTML
+        page carrying the Gradio twin's full control surface."""
+        resp = urllib.request.urlopen(
+            f"http://127.0.0.1:{server.port}/", timeout=30
+        )
+        assert resp.status == 200
+        assert resp.headers.get("content-type").startswith("text/html")
+        page = resp.read().decode()
+        # control surface: prompt, size, steps, guidance, seed, img2img, LoRA
+        for marker in ('id="prompt"', 'id="width"', 'id="height"', 'id="steps"',
+                       'id="guidance"', 'id="seed"', 'id="init"', 'id="strength"',
+                       'id="lora_path"', 'fetch("generate"', 'fetch("lora"',
+                       'fetch("metrics"', "x-seed"):
+            assert marker in page, marker
+        # pipeline identity + version-dependent defaults baked in
+        assert '"model": "flux-dev"' in page
+        assert '"default_steps": 28' in page
+        # self-contained: no external asset fetches (zero-egress hosts)
+        assert "http://" not in page and "https://" not in page
+        assert "<script src" not in page and "<link" not in page
+
     def test_generate_missing_prompt_400(self, server):
         status, ctype, payload = _post("/generate", {"width": 64}, server.port)
         assert status == 400
