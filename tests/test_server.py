@@ -115,6 +115,27 @@ class TestServer:
         assert "http://" not in page and "https://" not in page
         assert "<script src" not in page and "<link" not in page
 
+    def test_render_index_schnell_defaults(self):
+        """render_index bakes version-dependent defaults without a live server:
+        schnell pipelines get the 4-step default (reference main_gr.py picks steps
+        by model version), and a pipeline-less render (server starting up) still
+        produces a complete page."""
+        from flux_fp8_api_tpu.webui import render_index
+
+        class _Cfg:
+            version = "flux-schnell"
+
+        class _Pipe:
+            name = "flux-schnell"
+            config = _Cfg()
+
+        page = render_index(_Pipe()).decode()
+        assert '"default_steps": 4' in page
+        assert '"model": "flux-schnell"' in page
+        bare = render_index(None).decode()
+        assert '"default_steps": 28' in bare  # unknown version → dev default
+        assert 'id="prompt"' in bare
+
     def test_generate_missing_prompt_400(self, server):
         status, ctype, payload = _post("/generate", {"width": 64}, server.port)
         assert status == 400
