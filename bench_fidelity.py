@@ -41,6 +41,13 @@ import os
 import sys
 
 import jax
+
+if os.environ.get("FIDELITY_TINY"):
+    # Toy plumbing mode must never contend for the single-client TPU tunnel
+    # (a second axon process errors out the one that owns it). Runs before any
+    # backend init, so it beats sitecustomize's programmatic platform choice.
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 

@@ -55,6 +55,7 @@ _SLOW_PREFIXES = (
     "test_pp.py::TestPPServing",
     "test_edge_cases.py::TestCalibrationAcrossGenerates",
     "test_text_encoders.py::TestT5XXLShapeTierFidelity",
+    "test_fidelity_full_plumbing.py::TestOrchestratorSubprocess",
 )
 
 
