@@ -72,6 +72,11 @@ class LoraLoadResponse(BaseModel):
 @app.post("/generate")
 def generate(args: GenerateArgs):
     """Generate an image from the prompt (reference api.py:54-86)."""
+    # An explicit "seed": null bypasses the default_factory (it only fires when
+    # the field is OMITTED): fill it here so X-Seed always reports the seed the
+    # pipeline actually used, mirroring server.py's handle_generate.
+    if args.seed is None:
+        args.seed = int(np.random.randint(0, MAX_RAND))
     t0 = time.perf_counter()
     with _PIPELINE_LOCK:
         # silent=True selects the fused-scan serving denoise (pipeline.py: the

@@ -53,10 +53,12 @@ class PipelineServer:
 
     # ------------------------------------------------------------------- handlers
     def handle_generate(self, body: Dict[str, Any]):
+        # Contract: ALWAYS returns a 4-tuple (status, content_type, payload,
+        # headers) — error paths included — so callers can unpack uniformly.
         if "prompt" not in body:
             return 400, "application/json", json.dumps(
                 {"status": "error", "message": "prompt is required"}
-            ).encode()
+            ).encode(), {}
         args = dict(GENERATE_DEFAULTS)
         args.update({k: v for k, v in body.items() if k in GENERATE_DEFAULTS or k == "prompt"})
         if args.get("seed") is None:

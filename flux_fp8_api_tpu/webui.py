@@ -140,17 +140,22 @@ $("preset").addEventListener("change", () => {
   const wh = PRESETS[$("preset").value];
   if (wh) { $("width").value = wh[0]; $("height").value = wh[1]; }
 });
-let initB64 = null;
-$("init").addEventListener("change", () => {
+// Read the source file lazily at click time (promise-wrapped FileReader): an
+// eager change-listener read races Generate — clicking before onload fired
+// would silently send plain txt2img with the init_image dropped.
+function readInit() {
   const f = $("init").files[0];
-  if (!f) { initB64 = null; return; }
-  const r = new FileReader();
-  // strip the data:*;base64, prefix — the API's init_image field takes raw
-  // base64 (reference api.py:47 decodes with pybase64.b64decode)
-  r.onload = () => { initB64 = String(r.result).split(",", 2)[1]; };
-  r.readAsDataURL(f);
-});
-$("clear").addEventListener("click", () => { $("init").value = ""; initB64 = null; });
+  if (!f) return Promise.resolve(null);
+  return new Promise((resolve, reject) => {
+    const r = new FileReader();
+    // strip the data:*;base64, prefix — the API's init_image field takes raw
+    // base64 (reference api.py:47 decodes with pybase64.b64decode)
+    r.onload = () => resolve(String(r.result).split(",", 2)[1]);
+    r.onerror = () => reject(r.error);
+    r.readAsDataURL(f);
+  });
+}
+$("clear").addEventListener("click", () => { $("init").value = ""; });
 function seedValue() {
   const t = $("seed").value.trim();
   if (t === "" || t === "-1") return null;
@@ -168,11 +173,12 @@ $("go").addEventListener("click", async () => {
   };
   const seed = seedValue();
   if (seed !== null) body.seed = seed;
-  if (initB64) body.init_image = initB64;
   $("go").disabled = true;
   $("status").textContent = "generating…"; $("status").className = "status";
   const t0 = performance.now();
   try {
+    const initB64 = await readInit();
+    if (initB64) body.init_image = initB64;
     const resp = await fetch("generate", {
       method: "POST",
       headers: { "content-type": "application/json" },

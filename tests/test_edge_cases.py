@@ -106,8 +106,10 @@ class TestServerConcurrency:
         results = []
 
         def call():
-            status, _, payload = None, None, None
-            code, ctype, payload = _post_local(srv, {"prompt": "x", "width": 64, "height": 64, "num_steps": 1})
+            code, ctype, payload, headers = _post_local(
+                srv, {"prompt": "x", "width": 64, "height": 64, "num_steps": 1}
+            )
+            assert "x-seed" in headers
             results.append((code, len(payload)))
 
         threads = [threading.Thread(target=call) for _ in range(4)]

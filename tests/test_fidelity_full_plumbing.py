@@ -65,6 +65,47 @@ class TestChunkedPhases:
         assert set(rep["detail"]) == {"int8"}
         assert isinstance(rep["pass"], bool)
         assert "bf16_ground_truth_s" in rep["timings"]
+        assert "missing_tiers" not in rep
+
+    def test_report_tolerates_partial_tiers(self, tiny_env, tmp_path, capsys):
+        """A crashed tier must not mean 'no JSON at all' (VERDICT r4 weak #3):
+        the report covers completed tiers, lists the rest, and never claims the
+        full gate. Also: --out persists the same line to a file."""
+        import bench_fidelity as bf
+
+        wd = str(tmp_path / "w")
+        bf.phase_tree(wd)
+        bf.phase_gt(wd, self.STEPS, 0, self.STEPS, 0.0)
+        bf.phase_tier(wd, self.STEPS, "int8")
+        capsys.readouterr()
+        out_file = str(tmp_path / "report.json")
+        bf.phase_report(wd, self.STEPS, ["fp8", "int8"], out_path=out_file)
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert set(rep["detail"]) == {"int8"}
+        assert rep["missing_tiers"] == ["fp8"]
+        assert rep["pass"] is False  # partial runs never pass the gate
+        with open(out_file) as f:
+            assert json.loads(f.read()) == rep
+        # zero completed tiers is still an error, not an empty report
+        with pytest.raises(SystemExit):
+            bf.phase_report(wd, self.STEPS, ["fp8"])
+
+    def test_gt_checkpoints_are_step_keyed_and_atomic(self, tiny_env, tmp_path):
+        """latent_{N}.npy is the state after N steps and meta.done_steps always
+        names an existing checkpoint (advisor r4: non-atomic latent.npy + stale
+        done_steps could silently corrupt a resumed ground truth)."""
+        import bench_fidelity as bf
+
+        wd = str(tmp_path / "w")
+        bf.phase_tree(wd)
+        bf.phase_gt(wd, self.STEPS, 0, 2, 0.0)
+        meta = bf._read_meta(wd)
+        assert meta["done_steps"] == 2
+        assert os.path.exists(bf._latent_path(wd, 2))
+        assert not os.path.exists(bf._latent_path(wd, 2) + ".tmp.npy")
+        bf.phase_gt(wd, self.STEPS, 2, self.STEPS, 0.0)
+        assert os.path.exists(bf._latent_path(wd, self.STEPS))
+        assert bf._read_meta(wd)["done_steps"] == self.STEPS
 
 
 class TestOrchestratorSubprocess:

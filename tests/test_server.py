@@ -221,3 +221,79 @@ class TestServer:
         assert len(results) == n
         assert all(s == 200 and c == "image/jpeg" and b == b"\xff\xd8\xff" for s, c, b in results)
         assert _get("/metrics", server.port)[1]["requests"] == before + n
+
+
+class TestWebuiDomContract:
+    """Static contract between webui._PAGE's inline JS and its own DOM / the
+    server's routes. A zero-browser image means a typo in the page would
+    otherwise ship silently — these tests fail CI instead (VERDICT r4 #7)."""
+
+    @staticmethod
+    def _parse():
+        import re
+        from html.parser import HTMLParser
+
+        from flux_fp8_api_tpu.webui import _PAGE
+
+        class Collector(HTMLParser):
+            def __init__(self):
+                super().__init__()
+                self.ids = set()
+                self.label_fors = set()
+                self.in_script = False
+                self.script = []
+
+            def handle_starttag(self, tag, attrs):
+                d = dict(attrs)
+                if "id" in d:
+                    self.ids.add(d["id"])
+                if tag == "label" and "for" in d:
+                    self.label_fors.add(d["for"])
+                if tag == "script":
+                    self.in_script = True
+
+            def handle_endtag(self, tag):
+                if tag == "script":
+                    self.in_script = False
+
+            def handle_data(self, data):
+                if self.in_script:
+                    self.script.append(data)
+
+        c = Collector()
+        c.feed(_PAGE)
+        return c, "".join(c.script), re
+
+    def test_js_element_ids_exist_in_dom(self):
+        c, script, re = self._parse()
+        referenced = set(re.findall(r'\$\("([^"]+)"\)', script))
+        referenced |= set(re.findall(r'getElementById\("([^"]+)"\)', script))
+        assert referenced, "no id references found — extraction regex broken?"
+        missing = referenced - c.ids
+        assert not missing, f"JS references ids absent from the DOM: {sorted(missing)}"
+
+    def test_label_for_targets_exist(self):
+        c, _, _ = self._parse()
+        missing = c.label_fors - c.ids
+        assert not missing, f"<label for=...> targets missing: {sorted(missing)}"
+
+    def test_fetch_paths_match_served_routes(self):
+        _, script, re = self._parse()
+        fetched = set(re.findall(r'fetch\("([^"]+)"', script))
+        assert fetched, "no fetch targets found — extraction regex broken?"
+        # routes the stdlib server actually serves (server.py do_GET/do_POST),
+        # as relative paths (the page is served from "/")
+        served = {"generate", "lora", "health", "metrics"}
+        unknown = fetched - served
+        assert not unknown, f"JS fetches unserved routes: {sorted(unknown)}"
+
+    def test_config_placeholder_is_substituted(self):
+        from flux_fp8_api_tpu.webui import _PAGE, render_index
+
+        assert "__CONFIG__" in _PAGE
+        page = render_index(None).decode()
+        assert "__CONFIG__" not in page
+        # the baked config is valid JSON reachable by the JS `const CFG = ...`
+        m = page.split("const CFG = ", 1)[1].split(";", 1)[0]
+        cfg = json.loads(m)
+        assert set(cfg) >= {"model", "version", "platform", "default_steps", "presets"}
