@@ -132,33 +132,34 @@ def random_quantized_flux(cfg: FluxStatic, key, kind="fp8"):
     }
 
 
-def main():
-    # usage: bench.py [fp8|fp8_exact|int8|int4] [width] [height] [steps] [batch] —
-    # defaults mirror the reference's headline row (README.md:25: 1024x1024, bs=1)
-    kind = sys.argv[1] if len(sys.argv) > 1 else "fp8"
-    width = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
-    height = int(sys.argv[3]) if len(sys.argv) > 3 else 1024
-    num_steps = int(sys.argv[4]) if len(sys.argv) > 4 else 28
-    batch = int(sys.argv[5]) if len(sys.argv) > 5 else 1
-
-    params_cfg = FluxParams(
+def flux_dev_params_cfg(guidance_embed: bool = True) -> FluxParams:
+    """The flux-dev 12B architecture (flux-schnell differs only by
+    guidance_embed=False — reference util.py configs)."""
+    return FluxParams(
         in_channels=64, vec_in_dim=768, context_in_dim=4096, hidden_size=3072,
         mlp_ratio=4.0, num_heads=24, depth=19, depth_single_blocks=38,
-        axes_dim=[16, 56, 56], theta=10_000, qkv_bias=True, guidance_embed=True,
+        axes_dim=[16, 56, 56], theta=10_000, qkv_bias=True,
+        guidance_embed=guidance_embed,
     )
-    cfg = FluxStatic.from_params(params_cfg, use_pallas=jax.default_backend() == "tpu")
-    params = random_quantized_flux(cfg, jax.random.PRNGKey(0), kind=kind)
 
+
+def measure_denoise(cfg, params, width, height, num_steps, batch=1, txt_len=512):
+    """(it/s, seconds_per_run, compile_plus_first_run_s) for the fused-scan
+    denoise at one resolution — the reference's headline metric (tqdm rate over
+    flux_pipeline.py:628-651). One warm run compiles, the second is timed; the
+    clock stops on a value fetch (block_until_ready is a no-op through the axon
+    tunnel)."""
     b = batch
     h_lat, w_lat = 2 * math.ceil(height / 16), 2 * math.ceil(width / 16)
-    txt_len = 512
-    img = jax.random.normal(jax.random.PRNGKey(1), (b, (h_lat // 2) * (w_lat // 2), 64), jnp.bfloat16)
+    img = jax.random.normal(
+        jax.random.PRNGKey(1), (b, (h_lat // 2) * (w_lat // 2), cfg.in_channels), jnp.bfloat16
+    )
     img_ids = make_img_ids(h_lat, w_lat, b)
-    txt = jax.random.normal(jax.random.PRNGKey(2), (b, txt_len, 4096), jnp.bfloat16)
+    txt = jax.random.normal(jax.random.PRNGKey(2), (b, txt_len, cfg.context_in_dim), jnp.bfloat16)
     txt_ids = make_txt_ids(txt_len, b)
-    vec = jax.random.normal(jax.random.PRNGKey(3), (b, 768), jnp.bfloat16)
+    vec = jax.random.normal(jax.random.PRNGKey(3), (b, cfg.vec_in_dim), jnp.bfloat16)
     ts = jnp.linspace(1.0, 0.0, num_steps + 1, dtype=jnp.float32)
-    guidance = jnp.float32(3.5)
+    guidance = jnp.float32(3.5) if cfg.guidance_embed else None
 
     def run():
         # _denoise_scan donates the latent buffer — hand it a fresh copy per run
@@ -173,7 +174,23 @@ def main():
     t0 = time.perf_counter()
     run()
     dt = time.perf_counter() - t0
-    its = num_steps / dt
+    return num_steps / dt, dt, compile_s
+
+
+def main():
+    # usage: bench.py [fp8|fp8_exact|int8|int4] [width] [height] [steps] [batch] —
+    # defaults mirror the reference's headline row (README.md:25: 1024x1024, bs=1)
+    kind = sys.argv[1] if len(sys.argv) > 1 else "fp8"
+    width = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
+    height = int(sys.argv[3]) if len(sys.argv) > 3 else 1024
+    num_steps = int(sys.argv[4]) if len(sys.argv) > 4 else 28
+    batch = int(sys.argv[5]) if len(sys.argv) > 5 else 1
+
+    cfg = FluxStatic.from_params(
+        flux_dev_params_cfg(), use_pallas=jax.default_backend() == "tpu"
+    )
+    params = random_quantized_flux(cfg, jax.random.PRNGKey(0), kind=kind)
+    its, dt, compile_s = measure_denoise(cfg, params, width, height, num_steps, batch)
 
     print(
         json.dumps(

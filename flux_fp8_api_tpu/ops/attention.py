@@ -66,6 +66,18 @@ _TUNED_BLOCKS = {}
 # at exactly these local shapes.
 _TUNED_BLOCKS_RECT = {}
 
+# Winning margin (ms, runner-up minus winner, best-of-2 scored) recorded beside each
+# autotuned entry, persisted in attn_blocks.json as the entry's 4th element. A margin
+# below NOISE_FLOOR_MS means the pick is within measurement noise — such a winner
+# never evicts a previously persisted different entry (see register_tuned_blocks).
+_TUNED_MARGINS = {}
+_TUNED_MARGINS_RECT = {}
+
+# Only within-run deltas above this are trustworthy (CLAUDE.md noise rules: per-call
+# run-to-run noise ~±0.1ms; cross-run ±0.2-0.4ms — the autotuner always compares
+# within one process, so the within-run floor applies).
+NOISE_FLOOR_MS = 0.15
+
 
 def _norm_entry(blocks):
     """(bq, bkv[, const]) → canonical (bq, bkv, const) 3-tuple (const defaults
@@ -74,12 +86,37 @@ def _norm_entry(blocks):
     return int(blocks[0]), int(blocks[1]), const
 
 
-def register_tuned_blocks(l: int, blocks) -> None:
-    _TUNED_BLOCKS[int(l)] = _norm_entry(blocks)
+def register_tuned_blocks(l: int, blocks, margin_ms: float = None) -> None:
+    """Register an autotuned entry. When ``margin_ms`` is given and an entry for
+    ``l`` already exists (e.g. loaded from a persisted attn_blocks.json), a
+    DIFFERENT winner only replaces it when the margin clears NOISE_FLOOR_MS — a
+    noise-lucky single run must not evict a previously persisted pick (VERDICT r4
+    weak #5). Registrations without a margin (file loads, tests) always win."""
+    l = int(l)
+    new = _norm_entry(blocks)
+    old = _TUNED_BLOCKS.get(l)
+    if (
+        old is not None and new != old
+        and margin_ms is not None and margin_ms < NOISE_FLOOR_MS
+    ):
+        return
+    _TUNED_BLOCKS[l] = new
+    if margin_ms is not None:
+        _TUNED_MARGINS[l] = round(float(margin_ms), 3)
 
 
-def register_tuned_blocks_rect(lq: int, lkv: int, blocks) -> None:
-    _TUNED_BLOCKS_RECT[(int(lq), int(lkv))] = _norm_entry(blocks)
+def register_tuned_blocks_rect(lq: int, lkv: int, blocks, margin_ms: float = None) -> None:
+    key = (int(lq), int(lkv))
+    new = _norm_entry(blocks)
+    old = _TUNED_BLOCKS_RECT.get(key)
+    if (
+        old is not None and new != old
+        and margin_ms is not None and margin_ms < NOISE_FLOOR_MS
+    ):
+        return
+    _TUNED_BLOCKS_RECT[key] = new
+    if margin_ms is not None:
+        _TUNED_MARGINS_RECT[key] = round(float(margin_ms), 3)
 
 
 def _pick_blocks(l: int):
@@ -347,6 +384,71 @@ def benchmark_blocks(
     return (time.perf_counter() - t0) / iters
 
 
+def _safe_benchmark(l, cand, folded_heads, head_dim, dtype, iters, interpret, lkv=None):
+    """benchmark_blocks, but a probe that fails to COMPILE (e.g. a const-tables
+    candidate whose resident rope tables bust the Mosaic VMEM limit at an extreme
+    UI size) scores +inf instead of crashing warmup (advisor r4). Only Mosaic /
+    XLA lowering errors are swallowed — real bugs (TypeError etc.) still raise."""
+    try:
+        return benchmark_blocks(
+            l, cand, folded_heads, head_dim, dtype, iters, interpret, lkv=lkv
+        )
+    except Exception as e:  # jaxlib wraps Mosaic failures in XlaRuntimeError
+        name = type(e).__name__
+        if name in ("XlaRuntimeError", "MosaicError") or "RESOURCE_EXHAUSTED" in str(e):
+            return float("inf")
+        raise
+
+
+def _const_probes(best, lq: int, lkv: int, head_dim: int):
+    """VMEM-resident-rope-table probe candidates seeded from the streamed winner:
+    the winner's blocks with const_tables=True, and its full-kv variant
+    (block_kv = lkv — kills the per-q-block k/v re-DMA; the round-4 sweep's
+    winners at L=2816/4464/4544 all have this shape). The effect is
+    shape-dependent (−36% at L=2816, lose at L=3392/2560), so it must be
+    measured, not assumed. Guards (advisor r4): a probe is skipped when its
+    _vmem_estimate exceeds the 80MB raised Mosaic limit — at huge joint lengths
+    (UI allows up to 4096×4096 → L≈66k) the whole (lq+lkv)·d f32 tables alone
+    cannot be VMEM-resident, and the probe would crash warmup, not lose it."""
+    from .attention_kernel import _vmem_estimate
+
+    budget = 80 * 1024 * 1024
+    probes = []
+    if _vmem_estimate(lq, lkv, best[0], best[1], head_dim, True, True) <= budget:
+        probes.append((best[0], best[1], True))
+    # full-kv block must itself be Mosaic-tileable ((8, 128) VMEM tiles) and keep
+    # the f32 scores tile from crowding VMEM (≤ 32MB of the 80MB raised limit)
+    if (
+        best[1] != lkv
+        and lkv % 8 == 0
+        and best[0] * lkv * 4 <= 32 * 1024 * 1024
+        and _vmem_estimate(lq, lkv, best[0], lkv, head_dim, True, True) <= budget
+    ):
+        probes.append((best[0], lkv, True))
+    return probes
+
+
+def _rerank_top2(timings, measure, log=None):
+    """Noise-harden the pick (VERDICT r4 weak #5): re-measure the two fastest
+    candidates and score each best-of-2 (min of its runs — the minimum is the
+    noise-robust statistic for a timing floor). A single noise-lucky run can no
+    longer pin a loser. Returns (best, margin_ms, scores) where margin_ms is
+    runner-up minus winner on the best-of-2 scores."""
+    order = sorted(timings, key=timings.get)[:2]
+    scores = dict(timings)
+    for cand in order:
+        if scores[cand] == float("inf"):
+            continue
+        t2 = measure(cand)
+        scores[cand] = min(scores[cand], t2)
+        if log is not None:
+            log(f"autotune re-measure {cand} → {t2 * 1e3:.2f} ms/call (best-of-2)")
+    best = min(scores, key=scores.get)
+    rest = [v for c, v in scores.items() if c != best]
+    margin_ms = (min(rest) - scores[best]) * 1e3 if rest else float("inf")
+    return best, margin_ms, scores
+
+
 def autotune_blocks(
     l: int,
     folded_heads: int = 24,
@@ -358,39 +460,33 @@ def autotune_blocks(
 ):
     """Measure every candidate block pair for joint seq ``l`` on the current device
     and register the winner in the tuned table (the inductor-autotune analog,
-    SURVEY.md §2.3 torch.compile row). Returns {(bq, bkv): seconds} for logging /
-    persistence. No-op (returns existing entry) if ``l`` is already pinned."""
+    SURVEY.md §2.3 torch.compile row). The top-2 candidates are re-measured and
+    scored best-of-2 before pinning, and the winning margin is recorded beside the
+    entry (persisted to attn_blocks.json). Returns {(bq, bkv): seconds} for
+    logging / persistence. No-op (returns existing entry) if ``l`` is already
+    pinned."""
     if l in _QKNORM_BLOCKS_MEASURED or l in _TUNED_BLOCKS:
         return {}
+
+    def measure(cand):
+        return _safe_benchmark(l, cand, folded_heads, head_dim, dtype, iters, interpret)
+
     timings = {}
     for cand in candidate_blocks(l):
         cand = _norm_entry(cand)
-        timings[cand] = benchmark_blocks(
-            l, cand, folded_heads, head_dim, dtype, iters, interpret
-        )
-        if log is not None:
-            log(f"autotune L={l}: blocks {cand} → {timings[cand] * 1e3:.2f} ms/call")
-    # extra probes with VMEM-resident rope tables: the streamed winner's blocks,
-    # and its full-kv variant (block_kv = L — kills the per-q-block k/v re-DMA;
-    # the round-4 sweep's winners at L=2816/4464/4544 all have this shape). The
-    # effect is shape-dependent (−36% at L=2816, lose at L=3392/2560), so it must
-    # be measured, not assumed. Full-kv is skipped when the f32 scores tile alone
-    # would crowd VMEM (> 32MB of the 80MB raised limit).
-    best = min(timings, key=timings.get)
-    probes = [(best[0], best[1], True)]
-    # full-kv block must itself be Mosaic-tileable ((8, 128) VMEM tiles)
-    if best[1] != l and l % 8 == 0 and best[0] * l * 4 <= 32 * 1024 * 1024:
-        probes.append((best[0], l, True))
-    for cand in probes:
-        timings[cand] = benchmark_blocks(
-            l, cand, folded_heads, head_dim, dtype, iters, interpret
-        )
+        timings[cand] = measure(cand)
         if log is not None:
             log(f"autotune L={l}: blocks {cand} → {timings[cand] * 1e3:.2f} ms/call")
     best = min(timings, key=timings.get)
-    register_tuned_blocks(l, best)
+    for cand in _const_probes(best, l, l, head_dim):
+        timings[cand] = measure(cand)
+        if log is not None:
+            log(f"autotune L={l}: blocks {cand} → {timings[cand] * 1e3:.2f} ms/call")
+    best, margin_ms, scores = _rerank_top2(timings, measure, log)
+    timings.update(scores)  # returned timings reflect the best-of-2 scores
+    register_tuned_blocks(l, best, margin_ms=margin_ms)
     if log is not None:
-        log(f"autotune L={l}: picked {best}")
+        log(f"autotune L={l}: picked {best} (margin {margin_ms:.2f} ms)")
     return timings
 
 
@@ -437,12 +533,16 @@ def autotune_blocks_local(
     no-op when the shape is already registered."""
     if (lq, lkv) in _TUNED_BLOCKS_RECT:
         return {}
+
+    def measure(cand):
+        return _safe_benchmark(
+            lq, cand, folded_heads, head_dim, dtype, iters, interpret, lkv=lkv
+        )
+
     timings = {}
     for cand in candidate_blocks_rect(lq, lkv):
         cand = _norm_entry(cand)
-        timings[cand] = benchmark_blocks(
-            lq, cand, folded_heads, head_dim, dtype, iters, interpret, lkv=lkv
-        )
+        timings[cand] = measure(cand)
         if log is not None:
             log(
                 f"autotune local ({lq}x{lkv}, {folded_heads} heads): "
@@ -451,22 +551,18 @@ def autotune_blocks_local(
     # winner re-probed with VMEM-resident rope tables + its full-kv variant
     # (see autotune_blocks — the same shape-dependence applies to local shapes)
     best = min(timings, key=timings.get)
-    probes = [(best[0], best[1], True)]
-    if best[1] != lkv and lkv % 8 == 0 and best[0] * lkv * 4 <= 32 * 1024 * 1024:
-        probes.append((best[0], lkv, True))
-    for cand in probes:
-        timings[cand] = benchmark_blocks(
-            lq, cand, folded_heads, head_dim, dtype, iters, interpret, lkv=lkv
-        )
+    for cand in _const_probes(best, lq, lkv, head_dim):
+        timings[cand] = measure(cand)
         if log is not None:
             log(
                 f"autotune local ({lq}x{lkv}, {folded_heads} heads): "
                 f"blocks {cand} → {timings[cand] * 1e3:.2f} ms/call"
             )
-    best = min(timings, key=timings.get)
-    register_tuned_blocks_rect(lq, lkv, best)
+    best, margin_ms, scores = _rerank_top2(timings, measure, log)
+    timings.update(scores)  # returned timings reflect the best-of-2 scores
+    register_tuned_blocks_rect(lq, lkv, best, margin_ms=margin_ms)
     if log is not None:
-        log(f"autotune local ({lq}x{lkv}): picked {best}")
+        log(f"autotune local ({lq}x{lkv}): picked {best} (margin {margin_ms:.2f} ms)")
     return timings
 
 
@@ -483,11 +579,25 @@ def save_tuned_blocks(path: str) -> None:
         parent = os.path.dirname(path)
         if parent:
             os.makedirs(parent, exist_ok=True)
-        # 3-element entries: [block_q, block_kv, const_tables]; loaders accept the
-        # pre-round-4 2-element form too (const defaults False)
-        data = {str(l): list(b) for l, b in sorted(_TUNED_BLOCKS.items())}
+        # Entries: [block_q, block_kv, const_tables, margin_ms] — margin_ms is the
+        # best-of-2 winning margin recorded at tune time (may be absent on old
+        # files). Loaders accept the pre-round-4 2-element form too (const
+        # defaults False).
+        def entry(b, margin):
+            e = list(b)
+            if margin is not None:
+                e.append(margin)
+            return e
+
+        data = {
+            str(l): entry(b, _TUNED_MARGINS.get(l))
+            for l, b in sorted(_TUNED_BLOCKS.items())
+        }
         data.update(
-            {f"{lq}x{lkv}": list(b) for (lq, lkv), b in sorted(_TUNED_BLOCKS_RECT.items())}
+            {
+                f"{lq}x{lkv}": entry(b, _TUNED_MARGINS_RECT.get((lq, lkv)))
+                for (lq, lkv), b in sorted(_TUNED_BLOCKS_RECT.items())
+            }
         )
         with open(path, "w") as f:
             json.dump(data, f)
@@ -507,11 +617,16 @@ def load_tuned_blocks(path: str) -> int:
         with open(path) as f:
             data = json.load(f)
         for key, b in data.items():
+            margin = float(b[3]) if len(b) > 3 else None
             if "x" in key:
                 lq, lkv = key.split("x")
                 register_tuned_blocks_rect(int(lq), int(lkv), b)
+                if margin is not None:
+                    _TUNED_MARGINS_RECT[(int(lq), int(lkv))] = margin
             else:
                 register_tuned_blocks(int(key), b)
+                if margin is not None:
+                    _TUNED_MARGINS[int(key)] = margin
         return len(data)
     except (ValueError, KeyError, IndexError, TypeError, AttributeError, OSError):
         # AttributeError: valid JSON that isn't an object (e.g. a list) has no .items()

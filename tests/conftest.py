@@ -56,6 +56,7 @@ _SLOW_PREFIXES = (
     "test_edge_cases.py::TestCalibrationAcrossGenerates",
     "test_text_encoders.py::TestT5XXLShapeTierFidelity",
     "test_fidelity_full_plumbing.py::TestOrchestratorSubprocess",
+    "test_bench_all.py::TestBenchAllPlumbing",
 )
 
 
