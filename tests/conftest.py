@@ -24,10 +24,12 @@ assert jax.device_count() == 8, "xla_force_host_platform_device_count=8 not appl
 # ------------------------------------------------------------------ smoke subset
 #
 # The full suite is the merge gate (~56 min serial on the 8-device CPU mesh).
-# `pytest -m "not slow"` is the smoke subset (measured 17:45 serial on this 1-CPU
-# box; scales with -n workers): every module still runs, but the heavyweight
-# e2e/calibration/mesh/trainer classes below are skipped.
-# Curated from `--durations` of the full run; one place to maintain.
+# `pytest -m "not slow"` is the smoke subset (measured 18:31 serial on this 1-CPU
+# box before the round-5 cut; target <10 min): every module still runs, but the
+# heavyweight e2e/calibration/mesh/trainer classes below are skipped, plus the
+# slowest individual tests whose coverage the remaining fast tests or the full
+# suite duplicate. Curated from `--durations=60` of the smoke run (/tmp/smoke_r5
+# .log discipline); one place to maintain.
 # pytest-xdist also works for the FULL suite (`-n 4`) — each worker gets its own
 # 8-device virtual mesh; server tests bind ephemeral ports so they don't collide.
 
@@ -57,6 +59,37 @@ _SLOW_PREFIXES = (
     "test_text_encoders.py::TestT5XXLShapeTierFidelity",
     "test_fidelity_full_plumbing.py::TestOrchestratorSubprocess",
     "test_bench_all.py::TestBenchAllPlumbing",
+    # ---- round-5 cut (18:31 -> <10 min): slowest smoke tests whose subject
+    # keeps at least one fast smoke test or a fast sibling class.
+    "test_pipeline.py::TestStreamedOffload::test_quantized_calibrates_whole_tree_then_streams",
+    "test_pipeline.py::TestStreamedOffload::test_streamed_generate_matches_resident",
+    "test_pipeline.py::TestStreamedOffload::test_offload_retain_gb_config_streams",
+    "test_pipeline.py::TestStreamedOffload::test_lora_invalidates_stream_state",
+    "test_pipeline.py::TestStreamedOffload::test_stream_flow_offload_false_restores_round_trip",
+    "test_pp.py::TestPPForward::test_forward_matches_scan_runner",
+    "test_pp.py::TestPPForward::test_quantized_params_pipeline",
+    "test_pipeline.py::TestLoadFromConfig",
+    "test_pipeline.py::TestHubIdFallback",
+    "test_pipeline.py::TestMultiPrompt",
+    "test_pipeline.py::TestZeroScaleTrials",
+    "test_pipeline.py::TestOffload::test_offload_flags_roundtrip",
+    "test_parallel.py::TestLoraUnderMesh",
+    "test_parallel.py::TestMeshVAE::test_img2img_generate_under_mesh",
+    "test_parallel.py::TestEncoderTensorParallel",
+    "test_parallel.py::TestShardMapPallasAttention::test_flux_apply_with_attn_shard_axes",
+    "test_parallel.py::TestMesh::test_sharded_forward_matches_single_device",
+    "test_flux_model.py::TestQuantizedForwardAndCalibration",
+    "test_checkpoint.py::TestPrequantized",
+    "test_checkpoint.py::TestFluxCheckpoint::test_bfl_load_and_forward",
+    "test_lora_train.py::TestAdapterBasics::test_init_is_identity",
+    "test_fidelity_full_plumbing.py::TestChunkedPhases::test_tier_and_report",
+    "test_fidelity_full_plumbing.py::TestChunkedPhases::test_chunked_gt_bit_exact_vs_single_pass",
+    "test_edge_cases.py::TestLongPrompts::test_clip_chunking_over_77_tokens",
+    "test_edge_cases.py::TestInitImageFormats::test_path_init_image",
+    "test_edge_cases.py::TestInitImageFormats::test_pil_init_image",
+    "test_attention_kernel.py::TestFuzzShapes",
+    "test_reference_parity.py::TestFluxForwardParity::test_full_forward_matches_reference",
+    "test_text_encoders.py::TestT5::test_quantized_tiers_close",
 )
 
 

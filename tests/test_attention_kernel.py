@@ -588,3 +588,25 @@ class TestMeshLocalAutotuner:
             assert attn._pick_blocks_rect(2304, 4608) == (576, 2304, False)
         finally:
             self._clear()
+
+
+class TestBareTwoDotCeilingKernel:
+    """The ceiling-measurement kernel in ablate_attention.py must actually compute
+    (QK^T)V with the serving kernel's blocking — otherwise its time bounds nothing.
+    (The PERF.md round-5 MXU-ceiling table is only meaningful if this holds.)"""
+
+    def test_matches_einsum(self):
+        from ablate_attention import _bare_two_dot
+
+        h, l, d = 2, 256, 32
+        ks = jax.random.split(jax.random.PRNGKey(3), 3)
+        q = jax.random.normal(ks[0], (h, l, d), jnp.bfloat16)
+        k = jax.random.normal(ks[1], (h, l, d), jnp.bfloat16)
+        v = jax.random.normal(ks[2], (h, l, d), jnp.bfloat16)
+        out = _bare_two_dot(q, k, v, block_q=128, block_kv=128, interpret=True)
+        s = jnp.einsum("hqd,hkd->hqk", q.astype(jnp.float32), k.astype(jnp.float32))
+        ref = jnp.einsum("hqk,hkd->hqd", s.astype(jnp.bfloat16).astype(jnp.float32),
+                         v.astype(jnp.float32))
+        assert out.shape == (h, l, d)
+        err = jnp.max(jnp.abs(out.astype(jnp.float32) - ref)) / jnp.max(jnp.abs(ref))
+        assert float(err) < 0.05  # bf16 dot accumulation vs f32 einsum
