@@ -24,12 +24,12 @@ assert jax.device_count() == 8, "xla_force_host_platform_device_count=8 not appl
 # ------------------------------------------------------------------ smoke subset
 #
 # The full suite is the merge gate (~56 min serial on the 8-device CPU mesh).
-# `pytest -m "not slow"` is the smoke subset (measured 18:31 serial on this 1-CPU
-# box before the round-5 cut; target <10 min): every module still runs, but the
+# `pytest -m "not slow"` is the smoke subset (measured 8:45 serial on this 1-CPU
+# box after the round-5 cut; was 18:31): every module still runs, but the
 # heavyweight e2e/calibration/mesh/trainer classes below are skipped, plus the
 # slowest individual tests whose coverage the remaining fast tests or the full
-# suite duplicate. Curated from `--durations=60` of the smoke run (/tmp/smoke_r5
-# .log discipline); one place to maintain.
+# suite duplicate. Curated from `--durations=60` of the smoke run; one place to
+# maintain.
 # pytest-xdist also works for the FULL suite (`-n 4`) — each worker gets its own
 # 8-device virtual mesh; server tests bind ephemeral ports so they don't collide.
 
