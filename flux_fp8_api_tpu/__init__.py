@@ -29,4 +29,8 @@ def __getattr__(name):
         from .utils.loader import flux_from_pretrained
 
         return flux_from_pretrained
+    if name == "CacheConfig":
+        from .sampling import CacheConfig
+
+        return CacheConfig
     raise AttributeError(name)

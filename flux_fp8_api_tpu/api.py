@@ -53,6 +53,9 @@ class GenerateArgs(BaseModel):
     )
     strength: Optional[float] = 1.0
     init_image: Optional[str] = None
+    # opt-in step cache, e.g. {"mode": "dynamic", "threshold": 0.25} — parsed by
+    # sampling.CacheConfig; a TPU-stack extra over the reference api.py schema
+    cache: Optional[dict] = None
 
 
 class LoraArgs(BaseModel):
@@ -77,13 +80,22 @@ def generate(args: GenerateArgs):
     # pipeline actually used, mirroring server.py's handle_generate.
     if args.seed is None:
         args.seed = int(np.random.randint(0, MAX_RAND))
+    try:
+        # validate the cache spec up front: a typo'd option is a client error
+        from .sampling import CacheConfig
+
+        cache = CacheConfig.parse(args.cache)
+    except (TypeError, ValueError) as e:
+        raise HTTPException(status_code=400, detail=str(e))
     t0 = time.perf_counter()
     with _PIPELINE_LOCK:
         # silent=True selects the fused-scan serving denoise (pipeline.py: the
         # interactive per-step path exists for tqdm progress, not servers) and
         # holding the lock for the metrics update keeps the counters race-free
         # under FastAPI's threadpool
-        result = app.state.model.generate(silent=True, **args.model_dump())
+        result = app.state.model.generate(
+            silent=True, **{**args.model_dump(), "cache": cache}
+        )
         dt = time.perf_counter() - t0
         _METRICS["requests"] += 1
         _METRICS["images"] += 1

@@ -491,6 +491,67 @@ def max_logit_bound(params: Dict[str, Any], cfg: FluxStatic) -> float:
     return float(bound(pairs)) * (cfg.head_dim**0.5)
 
 
+def flux_cond_vec(
+    params: Dict[str, Any],
+    cfg: FluxStatic,
+    timesteps: jnp.ndarray,
+    y: jnp.ndarray,
+    guidance: Optional[jnp.ndarray] = None,
+    tape: Optional[_Tape] = None,
+):
+    """The per-step conditioning vector (reference flux_model.py:683-691):
+    time_in(t_emb) [+ guidance_in(g_emb)] + vector_in(y). Factored out of
+    :func:`flux_apply` so the step-cache indicator (sampling.py CacheConfig,
+    mode="dynamic") can form the block-0 modulated input without running the
+    full model."""
+    dtype = cfg.dtype
+    tape = tape or _Tape(False, cfg.dequant_linears)
+    vec = _mlp_embedder(
+        tape, "time_in", params["time_in"], timestep_embedding(timesteps, 256).astype(dtype), dtype
+    )
+    if cfg.guidance_embed:
+        if guidance is None:
+            raise ValueError("Didn't get guidance strength for guidance distilled model.")
+        vec = vec + _mlp_embedder(
+            tape,
+            "guidance_in",
+            params["guidance_in"],
+            timestep_embedding(guidance, 256).astype(dtype),
+            dtype,
+        )
+    return vec + _mlp_embedder(tape, "vector_in", params["vector_in"], y.astype(dtype), dtype)
+
+
+def flux_cache_indicator(
+    params: Dict[str, Any],
+    cfg: FluxStatic,
+    img: jnp.ndarray,
+    timesteps: jnp.ndarray,
+    y: jnp.ndarray,
+    guidance: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Block-0 img-stream modulated input — the step-cache change indicator.
+
+    The first double block's ``modulate(layer_norm(img_in(img)), shift1, scale1)``
+    captures how much both the latent *and* the timestep conditioning moved between
+    consecutive denoise steps, without running any of the 57 blocks (the TeaCache
+    observation: this tensor's relative L1 drift tracks the drift of the full model
+    output). Cost per step: img_in (L·64·hidden), the three conditioning MLPs and one
+    modulation linear — ~0.1% of a model eval. Used by sampling.py's
+    ``CacheConfig(mode="dynamic")`` scan; a feature the reference does not have
+    (its loop always evaluates, flux_pipeline.py:628-651).
+    """
+    dtype = cfg.dtype
+    tape = _Tape(False, cfg.dequant_linears)
+    h = tape.lin("img_in", params["img_in"], img.astype(dtype), dtype)
+    vec = flux_cond_vec(params, cfg, timesteps, y, guidance, tape=tape)
+    # depth-slice block 0 of the stacked tree (every leaf carries a leading depth axis)
+    blk0 = jax.tree.map(lambda a: a[0], params["double_blocks"])
+    img_mod = tape.lin("img_mod_lin", blk0["img_mod_lin"], silu(vec), dtype)[:, None, :]
+    shift1, scale1 = jnp.split(img_mod, 6, axis=-1)[:2]
+    return modulate(layer_norm(h), shift1, scale1)
+
+
 def flux_apply(
     params: Dict[str, Any],
     cfg: FluxStatic,
@@ -532,20 +593,7 @@ def flux_apply(
     txt_len = txt.shape[1]
 
     img = tape.lin("img_in", params["img_in"], img.astype(dtype), dtype)
-    vec = _mlp_embedder(
-        tape, "time_in", params["time_in"], timestep_embedding(timesteps, 256).astype(dtype), dtype
-    )
-    if cfg.guidance_embed:
-        if guidance is None:
-            raise ValueError("Didn't get guidance strength for guidance distilled model.")
-        vec = vec + _mlp_embedder(
-            tape,
-            "guidance_in",
-            params["guidance_in"],
-            timestep_embedding(guidance, 256).astype(dtype),
-            dtype,
-        )
-    vec = vec + _mlp_embedder(tape, "vector_in", params["vector_in"], y.astype(dtype), dtype)
+    vec = flux_cond_vec(params, cfg, timesteps, y, guidance, tape=tape)
     txt = tape.lin("txt_in", params["txt_in"], txt.astype(dtype), dtype)
 
     # rope tables over the joint (txt, img) sequence, fp32, shaped (B, L, 1, H/2)

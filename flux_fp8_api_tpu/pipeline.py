@@ -38,7 +38,7 @@ from .models.autoencoder import ae_decode, ae_encode
 from .models.flux import FluxStatic
 from .ops.packing import make_img_ids, make_txt_ids, pack_latents, unpack_latents
 from .ops.schedule import get_schedule
-from .sampling import denoise, make_denoise_step
+from .sampling import CacheConfig, denoise, make_denoise_step
 from .utils.config import ModelSpec, ModelVersion, into_device, into_dtype, load_config_from_path
 from .utils.loader import load_models_from_config
 from .utils.logging import logger
@@ -635,8 +635,23 @@ class FluxPipeline:
         num_images: int = 1,
         return_seed: bool = False,
         jpeg_quality: int = 99,
+        cache=None,
     ) -> io.BytesIO:
-        """Generate image(s); returns JPEG bytes (reference flux_pipeline.py:525-663)."""
+        """Generate image(s); returns JPEG bytes (reference flux_pipeline.py:525-663).
+
+        ``cache``: optional step-cache spec (sampling.CacheConfig, or a dict like
+        ``{"mode": "dynamic", "threshold": 0.25}`` from the HTTP body) — skips
+        redundant model evals inside the fused denoise scan. Ignored (with a warning)
+        while calibration trials are still running or under streamed offload; a pp
+        stack_runner rejects it loudly (sampling.denoise)."""
+        cache = CacheConfig.parse(cache)
+        if cache.mode != "none" and (self._needs_calibration or (
+            self.offload_flow and self.config.stream_flow_offload and self.mesh is None
+        )):
+            logger.warning(
+                "step cache ignored: calibration trials pending or streamed offload active"
+            )
+            cache = CacheConfig(mode="none")
         num_steps = 4 if self.name == ModelVersion.flux_schnell.value else num_steps
         init_image = self.load_init_image_if_needed(init_image)
         height = 16 * (height // 16)
@@ -673,6 +688,7 @@ class FluxPipeline:
 
         t_denoise = time.perf_counter()
         run_cfg = self._denoise_cfg(img.shape[1] + txt.shape[1])
+        cache_stats: Dict[str, Any] = {}
         with self._mesh_ctx():
             if self._needs_calibration:
                 img = self._calibration_denoise(
@@ -695,7 +711,8 @@ class FluxPipeline:
             else:
                 # silent (server) mode: fused whole-loop scan — fastest. Interactive
                 # mode: per-step jit with a tqdm bar whose rate is the reference's
-                # it/s metric (flux_pipeline.py:628-630).
+                # it/s metric (flux_pipeline.py:628-630). An active step cache forces
+                # the fused scan (the skip decision lives on device).
                 img = denoise(
                     self.model_params,
                     run_cfg,
@@ -706,9 +723,11 @@ class FluxPipeline:
                     vec,
                     timesteps,
                     guidance,
-                    fused=silent,
+                    fused=silent or cache.mode != "none",
                     progress=not silent,
                     stack_runner=self._pp_runner,
+                    cache=cache,
+                    stats=cache_stats,
                 )
         # fetch one element rather than block_until_ready: on the axon-tunneled TPU
         # block_until_ready is a no-op, a value fetch forces execution everywhere
@@ -717,6 +736,13 @@ class FluxPipeline:
         self.timings["denoise_it_per_s"] = (len(timesteps) - 1) / max(
             self.timings["denoise_seconds"], 1e-9
         )
+        if cache_stats.get("model_evals") is not None:
+            # real model evaluations this run (the rest reused the cached velocity)
+            self.timings["cache_model_evals"] = int(
+                jax.device_get(cache_stats["model_evals"])
+            )
+        else:
+            self.timings.pop("cache_model_evals", None)
 
         if self.offload_flow and not streaming:
             self.model_params = jax.device_put(self.model_params, self._host)

@@ -15,13 +15,78 @@ torch dynamo's per-shape recompiles (flux_pipeline.py:27-28).
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
-from typing import Any, Dict
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
-from .models.flux import FluxStatic, flux_apply
+from .models.flux import FluxStatic, flux_apply, flux_cache_indicator
+
+
+@dataclasses.dataclass(frozen=True)
+class CacheConfig:
+    """Opt-in timestep residual cache for the fused denoise scan (a TPU-side speedup
+    the reference does not have — its loop always runs the full model,
+    flux_pipeline.py:628-651).
+
+    Consecutive flow-matching steps produce highly correlated velocity predictions;
+    skipped steps reuse the previous model output (``img += dt · cached_pred``) and a
+    ``lax.cond`` keeps the full model out of the executed path (XLA conditionals run
+    only the taken branch on TPU). Two policies:
+
+    - ``mode="interval"`` (FORA-style): recompute every ``interval``-th step.
+    - ``mode="dynamic"`` (TeaCache-style): recompute when the accumulated relative L1
+      drift of the block-0 modulated input (models/flux.py flux_cache_indicator)
+      exceeds ``threshold`` since the last eval. ``coefficients`` optionally rescales
+      the per-step drift with a polynomial (jnp.polyval order — highest degree first);
+      TeaCache publishes fitted coefficients for FLUX real weights.
+
+    ``warmup`` first steps and ``tail`` last steps always evaluate (the ends of the
+    schedule move fastest and set composition/detail). Fidelity is measured against
+    the uncached same-tier output — see docs/PERF.md step-cache table.
+    """
+
+    mode: str = "none"  # "none" | "interval" | "dynamic"
+    interval: int = 2
+    threshold: float = 0.25
+    warmup: int = 2
+    tail: int = 1
+    coefficients: Optional[Tuple[float, ...]] = None
+
+    def __post_init__(self):
+        if self.mode not in ("none", "interval", "dynamic"):
+            raise ValueError(f"cache mode must be none|interval|dynamic, got {self.mode!r}")
+        if self.interval < 1:
+            raise ValueError(f"cache interval must be >= 1, got {self.interval}")
+        if self.warmup < 1:
+            raise ValueError(f"cache warmup must be >= 1 (step 0 has nothing cached), got {self.warmup}")
+        if self.tail < 0 or self.threshold < 0:
+            raise ValueError("cache tail and threshold must be >= 0")
+
+    @classmethod
+    def parse(cls, spec) -> "CacheConfig":
+        """Coerce None | CacheConfig | dict (HTTP request body) to a CacheConfig."""
+        if spec is None:
+            return cls(mode="none")
+        if isinstance(spec, cls):
+            return spec
+        if isinstance(spec, dict):
+            known = {f.name for f in dataclasses.fields(cls)}
+            bad = set(spec) - known
+            if bad:
+                raise ValueError(f"unknown cache option(s): {sorted(bad)}")
+            spec = dict(spec)
+            if "coefficients" in spec and spec["coefficients"] is not None:
+                spec["coefficients"] = tuple(float(c) for c in spec["coefficients"])
+            for k in ("interval", "warmup", "tail"):
+                if k in spec:
+                    spec[k] = int(spec[k])
+            if "threshold" in spec:
+                spec["threshold"] = float(spec["threshold"])
+            return cls(**spec)
+        raise TypeError(f"cache must be None, CacheConfig or dict, got {type(spec)}")
 
 
 @partial(jax.jit, static_argnames=("cfg", "stack_runner"))
@@ -96,6 +161,65 @@ def _denoise_scan(params, cfg: FluxStatic, img, img_ids, txt, txt_ids, vec, time
     return img
 
 
+@partial(jax.jit, static_argnames=("cfg", "cache"), donate_argnames=("img",))
+def _denoise_scan_cached(
+    params, cfg: FluxStatic, cache: CacheConfig, img, img_ids, txt, txt_ids, vec, timesteps, guidance
+):
+    """Euler scan with the step cache: each step either evaluates the model (and
+    refreshes the cached velocity) or reuses it, decided on-device inside the scan so
+    the whole loop stays one jit. Returns ``(img, n_evals)`` — the number of real
+    model evaluations (int32 device scalar) for the it/s-equivalent metric."""
+    b = img.shape[0]
+    g_vec = jnp.full((b,), guidance, cfg.dtype) if cfg.guidance_embed else None
+    pairs = jnp.stack([timesteps[:-1], timesteps[1:]], axis=1)  # (T, 2)
+    n_steps = pairs.shape[0]
+
+    def model(img, t_curr):
+        t_vec = jnp.full((b,), t_curr, cfg.dtype)
+        return flux_apply(params, cfg, img, img_ids, txt, txt_ids, t_vec, vec, g_vec)
+
+    dynamic = cache.mode == "dynamic"
+
+    def body(carry, x):
+        img, prev_ind, accum, cached_pred, n_evals = carry
+        pair, i = x
+        t_curr, t_prev = pair[0], pair[1]
+        forced = (i < cache.warmup) | (i >= n_steps - cache.tail)
+        if dynamic:
+            t_vec = jnp.full((b,), t_curr, cfg.dtype)
+            ind = flux_cache_indicator(params, cfg, img, t_vec, vec, g_vec).astype(
+                jnp.float32
+            )
+            rel = jnp.mean(jnp.abs(ind - prev_ind)) / (
+                jnp.mean(jnp.abs(prev_ind)) + 1e-8
+            )
+            if cache.coefficients is not None:
+                rel = jnp.polyval(jnp.asarray(cache.coefficients, jnp.float32), rel)
+            accum = accum + jnp.abs(rel)
+            recompute = forced | (accum >= cache.threshold)
+        else:
+            ind = prev_ind
+            recompute = forced | (jnp.mod(i, cache.interval) == 0)
+
+        pred, accum = jax.lax.cond(
+            recompute,
+            lambda img: (model(img, t_curr), jnp.zeros_like(accum)),
+            lambda img: (cached_pred, accum),
+            img,
+        )
+        img = img + (t_prev - t_curr).astype(img.dtype) * pred
+        return (img, ind, accum, pred, n_evals + recompute.astype(jnp.int32)), None
+
+    ind0 = (
+        jnp.zeros((b, img.shape[1], cfg.hidden_size), jnp.float32)
+        if dynamic
+        else jnp.zeros(())
+    )
+    carry0 = (img, ind0, jnp.zeros((), jnp.float32), jnp.zeros_like(img), jnp.zeros((), jnp.int32))
+    (img, _, _, _, n_evals), _ = jax.lax.scan(body, carry0, (pairs, jnp.arange(n_steps)))
+    return img, n_evals
+
+
 def denoise(
     params: Dict[str, Any],
     cfg: FluxStatic,
@@ -109,11 +233,31 @@ def denoise(
     fused: bool = True,
     progress: bool = False,
     stack_runner=None,
+    cache: Optional[CacheConfig] = None,
+    stats: Optional[Dict[str, Any]] = None,
 ) -> jnp.ndarray:
     """Run the full denoise loop. ``fused=True`` uses the scan kernel; otherwise a host
     loop over the per-step jit with an optional tqdm bar (the reference's it/s metric,
     flux_pipeline.py:628-630). ``stack_runner`` plugs a block-stack strategy into
-    ``flux_apply`` (e.g. :func:`~.parallel.pp.make_pp_runner` for pp serving)."""
+    ``flux_apply`` (e.g. :func:`~.parallel.pp.make_pp_runner` for pp serving).
+
+    ``cache`` (a :class:`CacheConfig` with mode != "none") turns on the timestep
+    residual cache — fused-scan only (the skip decision lives on device; a host loop
+    would pay a ~32ms tunnel fetch per step), incompatible with a ``stack_runner``
+    (collectives inside the skip conditional). When active, ``stats`` (if given)
+    receives ``stats["model_evals"]`` as an int32 device scalar."""
+    if cache is not None and cache.mode != "none":
+        if not fused:
+            raise ValueError("the step cache requires the fused scan (fused=True)")
+        if stack_runner is not None:
+            raise ValueError("the step cache requires the default scan runner")
+        img, n_evals = _denoise_scan_cached(
+            params, cfg, cache, img, img_ids, txt, txt_ids, vec,
+            jnp.asarray(timesteps, jnp.float32), jnp.asarray(guidance, jnp.float32),
+        )
+        if stats is not None:
+            stats["model_evals"] = n_evals
+        return img
     if fused:
         return _denoise_scan(
             params, cfg, img, img_ids, txt, txt_ids, vec,

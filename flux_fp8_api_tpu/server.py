@@ -38,6 +38,9 @@ GENERATE_DEFAULTS: Dict[str, Any] = {
     "seed": None,
     "strength": 1.0,
     "init_image": None,
+    # opt-in step cache, e.g. {"mode": "dynamic", "threshold": 0.25} —
+    # sampling.CacheConfig; a TPU-side extra over the reference api.py schema
+    "cache": None,
 }
 
 
@@ -63,6 +66,16 @@ class PipelineServer:
         args.update({k: v for k, v in body.items() if k in GENERATE_DEFAULTS or k == "prompt"})
         if args.get("seed") is None:
             args["seed"] = int(np.random.randint(0, MAX_RAND))
+        try:
+            # validate the cache spec up front: a typo'd option is a client error
+            # (400), not a server fault
+            from .sampling import CacheConfig
+
+            args["cache"] = CacheConfig.parse(args.get("cache"))
+        except (TypeError, ValueError) as e:
+            return 400, "application/json", json.dumps(
+                {"status": "error", "message": str(e)}
+            ).encode(), {}
         t0 = time.perf_counter()
         with self.lock:
             out = self.pipeline.generate(silent=True, **args)
