@@ -56,6 +56,7 @@ _SLOW_PREFIXES = (
     "test_pp.py::TestPPBackward",
     "test_pp.py::TestPPServing",
     "test_edge_cases.py::TestCalibrationAcrossGenerates",
+    "test_step_cache.py::TestCacheUnderMesh",
     "test_text_encoders.py::TestT5XXLShapeTierFidelity",
     "test_fidelity_full_plumbing.py::TestOrchestratorSubprocess",
     "test_bench_all.py::TestBenchAllPlumbing",

@@ -207,6 +207,46 @@ class TestPipelineCache:
             )
 
 
+class TestCacheUnderMesh:
+    """The cached scan under mesh serving: GSPMD partitions the lax.cond (XLA
+    predicates/hoists collectives inside conditionals), and the shard_map Pallas
+    attention composes with it. Slow-marked (conftest) — smoke covers single-device."""
+
+    def test_tp2_matches_single_device_cached(self):
+        from .test_pipeline import decode_jpeg, make_pipeline
+
+        kwargs = dict(
+            prompt="a cat", width=64, height=64, num_steps=6, seed=11, silent=True,
+            cache={"mode": "interval", "interval": 2, "warmup": 2, "tail": 1},
+        )
+        single = make_pipeline(flow_dtype="float32", ae_dtype="float32")
+        ref = decode_jpeg(single.generate(**kwargs))
+        pipe = make_pipeline(
+            mesh={"dp": 1, "tp": 2}, flow_dtype="float32", ae_dtype="float32"
+        )
+        out = decode_jpeg(pipe.generate(**kwargs))
+        assert pipe.timings["cache_model_evals"] == single.timings["cache_model_evals"] == 5
+        # f32 compute: only reduction-order noise between single-device and tp
+        assert np.mean(np.abs(out.astype(np.int16) - ref.astype(np.int16))) < 1.0
+
+    def test_dynamic_cache_with_shard_map_pallas(self, monkeypatch):
+        import flux_fp8_api_tpu.ops.attention as attn_mod
+
+        from .test_pipeline import decode_jpeg, make_pipeline
+
+        monkeypatch.setattr(attn_mod, "FORCE_PALLAS_INTERPRET", True)
+        pipe = make_pipeline(
+            mesh={"dp": 1, "tp": 2}, flow_dtype="float32", ae_dtype="float32",
+            use_pallas=True,
+        )
+        out = decode_jpeg(pipe.generate(
+            prompt="a cat", width=64, height=64, num_steps=4, seed=11, silent=True,
+            cache={"mode": "dynamic", "threshold": 0.4, "warmup": 2, "tail": 1},
+        ))
+        assert out.shape == (64, 64, 3)
+        assert 3 <= pipe.timings["cache_model_evals"] <= 4
+
+
 class TestServerCache:
     def test_handler_rejects_bad_cache_with_400(self):
         from flux_fp8_api_tpu.server import PipelineServer
