@@ -35,6 +35,14 @@ RESOLUTION_PRESETS = {
 _STEP_LIMITS = (1, 50)
 _SIZE_LIMITS = (128, 4096)  # multiples of 16 enforced by the pipeline
 
+# Step-cache presets (sampling.CacheConfig) — the measured sweet spots from
+# bench_cache.py / docs/PERF.md; mirrored by webui.py's select.
+STEP_CACHE_CHOICES = {
+    "off — every step evaluated (full quality)": None,
+    "dynamic ≈2× faster (SSIM 0.996 vs uncached)": {"mode": "dynamic", "threshold": 0.4},
+    "interval 3 ≈2.5× faster (SSIM 0.987 vs uncached)": {"mode": "interval", "interval": 3},
+}
+
 
 def resolve_seed(raw) -> Optional[int]:
     """UI seed field → pipeline seed: blank/-1 mean 'pick one for me'."""
@@ -110,7 +118,7 @@ def build_ui(pipeline):
     default_steps = 4 if schnell else 28
 
     def run(prompt, preset, width, height, steps, guidance, seed_text, embed_meta,
-            source_image=None, strength=0.75):
+            cache_choice="off", source_image=None, strength=0.75):
         if RESOLUTION_PRESETS.get(preset):
             width, height = RESOLUTION_PRESETS[preset]
         jpeg, used_seed = pipeline.generate(
@@ -124,6 +132,7 @@ def build_ui(pipeline):
             strength=float(strength),
             silent=True,
             return_seed=True,
+            cache=STEP_CACHE_CHOICES.get(cache_choice),
         )
         img = Image.open(jpeg)
         rec = settings_record(
@@ -147,7 +156,11 @@ def build_ui(pipeline):
                              interactive=not schnell)
         seed_text = gr.Textbox(value="", label="Seed (blank or -1 = random)")
         embed_meta = gr.Checkbox(value=True, label="Embed settings in image metadata")
-        return preset, width, height, steps, guidance, seed_text, embed_meta
+        cache_choice = gr.Dropdown(
+            list(STEP_CACHE_CHOICES), value=next(iter(STEP_CACHE_CHOICES)),
+            label="Step cache (speed ↔ fidelity)",
+        )
+        return preset, width, height, steps, guidance, seed_text, embed_meta, cache_choice
 
     with gr.Blocks(title="flux-fp8-api-tpu") as app:
         gr.Markdown(

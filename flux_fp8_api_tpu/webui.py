@@ -88,6 +88,12 @@ _PAGE = """<!doctype html>
       <div><label for="seed">Seed (blank/-1 = random)</label>
         <input id="seed" type="text" value=""></div>
     </div>
+    <label for="cache">Step cache (speed ↔ fidelity — measured in docs/PERF.md)</label>
+    <select id="cache">
+      <option value="off">off — every step evaluated (full quality)</option>
+      <option value="dynamic">dynamic ≈2× faster (SSIM 0.996 vs uncached)</option>
+      <option value="interval">interval 3 ≈2.5× faster (SSIM 0.987 vs uncached)</option>
+    </select>
     <label for="init">Source image (optional → image-to-image)</label>
     <input id="init" type="file" accept="image/*">
     <label for="strength">Noising strength (1 = ignore source)</label>
@@ -173,6 +179,11 @@ $("go").addEventListener("click", async () => {
   };
   const seed = seedValue();
   if (seed !== null) body.seed = seed;
+  // opt-in step cache (server parses via sampling.CacheConfig; thresholds are
+  // the measured sweet spots from bench_cache.py / docs/PERF.md)
+  const cacheMode = $("cache").value;
+  if (cacheMode === "dynamic") body.cache = { mode: "dynamic", threshold: 0.4 };
+  else if (cacheMode === "interval") body.cache = { mode: "interval", interval: 3 };
   $("go").disabled = true;
   $("status").textContent = "generating…"; $("status").className = "status";
   const t0 = performance.now();

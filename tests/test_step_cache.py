@@ -247,6 +247,29 @@ class TestCacheUnderMesh:
         assert 3 <= pipe.timings["cache_model_evals"] <= 4
 
 
+class TestUiCachePresets:
+    """Both UI twins (gradio main_gr.py, stdlib webui.py) expose the same measured
+    step-cache presets; every preset must parse via CacheConfig."""
+
+    def test_gradio_choices_parse(self):
+        from flux_fp8_api_tpu.main_gr import STEP_CACHE_CHOICES
+
+        parsed = [CacheConfig.parse(v) for v in STEP_CACHE_CHOICES.values()]
+        assert parsed[0].mode == "none"  # first entry is the default: off
+        assert {c.mode for c in parsed} == {"none", "dynamic", "interval"}
+
+    def test_webui_js_matches_gradio_presets(self):
+        from flux_fp8_api_tpu.main_gr import STEP_CACHE_CHOICES
+        from flux_fp8_api_tpu.webui import _PAGE
+
+        by_mode = {
+            c["mode"]: c for c in STEP_CACHE_CHOICES.values() if c is not None
+        }
+        dyn, itv = by_mode["dynamic"], by_mode["interval"]
+        assert f'{{ mode: "dynamic", threshold: {dyn["threshold"]} }}' in _PAGE
+        assert f'{{ mode: "interval", interval: {itv["interval"]} }}' in _PAGE
+
+
 class TestServerCache:
     def test_handler_rejects_bad_cache_with_400(self):
         from flux_fp8_api_tpu.server import PipelineServer
