@@ -42,7 +42,21 @@ POLICIES = [
     ("interval3", CacheConfig(mode="interval", interval=3, warmup=2, tail=1)),
     ("dynamic.2", CacheConfig(mode="dynamic", threshold=0.2, warmup=2, tail=1)),
     ("dynamic.4", CacheConfig(mode="dynamic", threshold=0.4, warmup=2, tail=1)),
+    # order=1 (TaylorSeer-style linear extrapolation): same eval counts, strictly
+    # more signal per skipped step — and it may hold SSIM at sparser intervals.
+    ("interval3+o1", CacheConfig(mode="interval", interval=3, warmup=2, tail=1, order=1)),
+    ("interval4", CacheConfig(mode="interval", interval=4, warmup=2, tail=1)),
+    ("interval4+o1", CacheConfig(mode="interval", interval=4, warmup=2, tail=1, order=1)),
+    ("interval5+o1", CacheConfig(mode="interval", interval=5, warmup=2, tail=1, order=1)),
+    ("dynamic.4+o1", CacheConfig(mode="dynamic", threshold=0.4, warmup=2, tail=1, order=1)),
 ]
+
+# BENCH_POLICIES=name1,name2 restricts the sweep (the uncached baseline always runs)
+# — lets a follow-up measure new rows without re-paying the full table's compiles.
+_ONLY = os.environ.get("BENCH_POLICIES")
+if _ONLY:
+    _names = {s.strip() for s in _ONLY.split(",")}
+    POLICIES = [p for p in POLICIES if p[0] in _names]
 
 
 def main():

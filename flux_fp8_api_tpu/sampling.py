@@ -43,6 +43,14 @@ class CacheConfig:
       the per-step drift with a polynomial (jnp.polyval order — highest degree first);
       TeaCache publishes fitted coefficients for FLUX real weights.
 
+    ``order`` picks what a skipped step uses (orthogonal to the skip policy):
+    0 reuses the last evaluated velocity verbatim; 1 (TaylorSeer-style) linearly
+    extrapolates it in t from the finite difference of the last two evals —
+    ``v(t) ≈ v(t_k) + (t - t_k) · (v(t_k) - v(t_{k-1})) / (t_k - t_{k-1})`` — one
+    extra latent-sized axpy per skipped step for strictly more signal (exact when
+    the velocity is linear in t, which flow-matching trajectories approach away
+    from the schedule ends).
+
     ``warmup`` first steps and ``tail`` last steps always evaluate (the ends of the
     schedule move fastest and set composition/detail). Fidelity is measured against
     the uncached same-tier output — see docs/PERF.md step-cache table.
@@ -53,6 +61,7 @@ class CacheConfig:
     threshold: float = 0.25
     warmup: int = 2
     tail: int = 1
+    order: int = 0  # 0 = reuse last eval; 1 = linear extrapolation in t
     coefficients: Optional[Tuple[float, ...]] = None
 
     def __post_init__(self):
@@ -64,6 +73,8 @@ class CacheConfig:
             raise ValueError(f"cache warmup must be >= 1 (step 0 has nothing cached), got {self.warmup}")
         if self.tail < 0 or self.threshold < 0:
             raise ValueError("cache tail and threshold must be >= 0")
+        if self.order not in (0, 1):
+            raise ValueError(f"cache order must be 0 or 1, got {self.order}")
 
     @classmethod
     def parse(cls, spec) -> "CacheConfig":
@@ -80,7 +91,7 @@ class CacheConfig:
             spec = dict(spec)
             if "coefficients" in spec and spec["coefficients"] is not None:
                 spec["coefficients"] = tuple(float(c) for c in spec["coefficients"])
-            for k in ("interval", "warmup", "tail"):
+            for k in ("interval", "warmup", "tail", "order"):
                 if k in spec:
                     spec[k] = int(spec[k])
             if "threshold" in spec:
@@ -179,9 +190,17 @@ def _denoise_scan_cached(
         return flux_apply(params, cfg, img, img_ids, txt, txt_ids, t_vec, vec, g_vec)
 
     dynamic = cache.mode == "dynamic"
+    first_order = cache.order == 1
 
     def body(carry, x):
-        img, prev_ind, accum, cached_pred, n_evals = carry
+        if first_order:
+            # order=1 carries the last TWO evaluated velocities (f32 — the finite
+            # difference of two close bf16 velocities would lose most of its bits)
+            # plus their timesteps and an eval counter (the slope is only valid
+            # once two evals exist).
+            img, prev_ind, accum, cached_pred, prev_pred, t_last, t_prev_last, k_evals, n_evals = carry
+        else:
+            img, prev_ind, accum, cached_pred, n_evals = carry
         pair, i = x
         t_curr, t_prev = pair[0], pair[1]
         forced = (i < cache.warmup) | (i >= n_steps - cache.tail)
@@ -201,6 +220,29 @@ def _denoise_scan_cached(
             ind = prev_ind
             recompute = forced | (jnp.mod(i, cache.interval) == 0)
 
+        if first_order:
+            def _eval(img):
+                new = model(img, t_curr).astype(jnp.float32)
+                return (new, jnp.zeros_like(accum), new, cached_pred, t_curr,
+                        t_last, k_evals + 1)
+
+            def _skip(img):
+                denom = jnp.where(k_evals >= 2, t_last - t_prev_last, 1.0)
+                slope = jnp.where(
+                    k_evals >= 2, (cached_pred - prev_pred) / denom,
+                    jnp.zeros_like(cached_pred),
+                )
+                pred = cached_pred + (t_curr - t_last) * slope
+                return pred, accum, cached_pred, prev_pred, t_last, t_prev_last, k_evals
+
+            pred, accum, cached_pred, prev_pred, t_last, t_prev_last, k_evals = (
+                jax.lax.cond(recompute, _eval, _skip, img)
+            )
+            img = img + (t_prev - t_curr).astype(img.dtype) * pred.astype(img.dtype)
+            carry = (img, ind, accum, cached_pred, prev_pred, t_last, t_prev_last,
+                     k_evals, n_evals + recompute.astype(jnp.int32))
+            return carry, None
+
         pred, accum = jax.lax.cond(
             recompute,
             lambda img: (model(img, t_curr), jnp.zeros_like(accum)),
@@ -215,6 +257,15 @@ def _denoise_scan_cached(
         if dynamic
         else jnp.zeros(())
     )
+    if first_order:
+        zero_v = jnp.zeros(img.shape, jnp.float32)
+        carry0 = (
+            img, ind0, jnp.zeros((), jnp.float32), zero_v, zero_v,
+            jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32),
+            jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+        )
+        (img, *_, n_evals), _ = jax.lax.scan(body, carry0, (pairs, jnp.arange(n_steps)))
+        return img, n_evals
     carry0 = (img, ind0, jnp.zeros((), jnp.float32), jnp.zeros_like(img), jnp.zeros((), jnp.int32))
     (img, _, _, _, n_evals), _ = jax.lax.scan(body, carry0, (pairs, jnp.arange(n_steps)))
     return img, n_evals

@@ -92,7 +92,7 @@ _PAGE = """<!doctype html>
     <select id="cache">
       <option value="off">off — every step evaluated (full quality)</option>
       <option value="dynamic">dynamic ≈2× faster (SSIM 0.996 vs uncached)</option>
-      <option value="interval">interval 3 ≈2.5× faster (SSIM 0.987 vs uncached)</option>
+      <option value="interval">interval 4 ≈3× faster (SSIM 0.985 vs uncached)</option>
     </select>
     <label for="init">Source image (optional → image-to-image)</label>
     <input id="init" type="file" accept="image/*">
@@ -183,7 +183,7 @@ $("go").addEventListener("click", async () => {
   // the measured sweet spots from bench_cache.py / docs/PERF.md)
   const cacheMode = $("cache").value;
   if (cacheMode === "dynamic") body.cache = { mode: "dynamic", threshold: 0.4 };
-  else if (cacheMode === "interval") body.cache = { mode: "interval", interval: 3 };
+  else if (cacheMode === "interval") body.cache = { mode: "interval", interval: 4 };
   $("go").disabled = true;
   $("status").textContent = "generating…"; $("status").className = "status";
   const t0 = performance.now();

@@ -56,8 +56,14 @@ class TestCacheConfig:
             CacheConfig(mode="interval", warmup=0)
         with pytest.raises(ValueError):
             CacheConfig(mode="dynamic", threshold=-1.0)
+        with pytest.raises(ValueError, match="order"):
+            CacheConfig(mode="interval", order=2)
         with pytest.raises(TypeError):
             CacheConfig.parse("dynamic")
+
+    def test_parse_coerces_order(self):
+        c = CacheConfig.parse({"mode": "interval", "interval": 3, "order": "1"})
+        assert c.order == 1
 
 
 class TestCachedScan:
@@ -134,6 +140,94 @@ class TestCachedScan:
             evals[thr] = int(stats["model_evals"])
         assert evals[1e9] == floor
         assert floor < evals[0.05] <= 10
+
+    def test_order1_interval_1_matches_uncached(self):
+        """order=1 with interval=1 never skips, so extrapolation is dead code and
+        the output must match the plain fused scan exactly (f32 compute)."""
+        cfg, params, inp, ts = _setup(n_steps=6)
+        base = _run(cfg, params, inp, ts)
+        stats = {}
+        cached = _run(
+            cfg, params, inp, ts,
+            cache=CacheConfig(mode="interval", interval=1, warmup=1, tail=0, order=1),
+            stats=stats,
+        )
+        assert int(stats["model_evals"]) == 6
+        np.testing.assert_allclose(
+            np.asarray(cached, np.float32), np.asarray(base, np.float32),
+            rtol=0, atol=2e-5,
+        )
+
+    def test_order1_matches_host_reference(self):
+        """The order-1 scan implements exactly the documented policy: replicate it in
+        a host loop (per-step jitted model evals + numpy extrapolation) and compare."""
+        import jax
+        from flux_fp8_api_tpu.models.flux import flux_apply
+
+        cfg, params, inp, ts = _setup(n_steps=8)
+        cache = CacheConfig(mode="interval", interval=3, warmup=2, tail=1, order=1)
+
+        @jax.jit
+        def pred_fn(img, t_curr):
+            b = img.shape[0]
+            t_vec = jnp.full((b,), t_curr, cfg.dtype)
+            g_vec = jnp.full((b,), 3.5, cfg.dtype) if cfg.guidance_embed else None
+            return flux_apply(
+                params, cfg, img, inp["img_ids"], inp["txt"], inp["txt_ids"],
+                t_vec, inp["y"], g_vec,
+            )
+
+        img = np.asarray(inp["img"], np.float32)
+        n = len(ts) - 1
+        cached = prev = None
+        t_last = t_prev_last = None
+        evals = 0
+        for i, (t_curr, t_prev) in enumerate(zip(ts[:-1], ts[1:])):
+            forced = i < cache.warmup or i >= n - cache.tail
+            if forced or i % cache.interval == 0:
+                prev, t_prev_last = cached, t_last
+                cached, t_last = np.asarray(pred_fn(img, t_curr), np.float32), t_curr
+                evals += 1
+                pred = cached
+            elif prev is not None:
+                slope = (cached - prev) / (t_last - t_prev_last)
+                pred = cached + (t_curr - t_last) * slope
+            else:
+                pred = cached
+            img = img + (t_prev - t_curr) * pred
+
+        stats = {}
+        out = _run(cfg, params, inp, ts, cache=cache, stats=stats)
+        assert int(stats["model_evals"]) == evals
+        np.testing.assert_allclose(np.asarray(out, np.float32), img, rtol=0, atol=3e-5)
+
+    def test_order1_differs_from_order0_when_skipping(self):
+        """With real skips after >=2 evals, the extrapolated trajectory must actually
+        diverge from plain reuse (the slope term is live), and stay finite."""
+        cfg, params, inp, ts = _setup(n_steps=8)
+        outs = {}
+        for order in (0, 1):
+            stats = {}
+            outs[order] = np.asarray(_run(
+                cfg, params, inp, ts,
+                cache=CacheConfig(mode="interval", interval=3, warmup=2, tail=1, order=order),
+                stats=stats,
+            ), np.float32)
+            assert int(stats["model_evals"]) == 5
+        assert np.isfinite(outs[1]).all()
+        assert np.max(np.abs(outs[1] - outs[0])) > 1e-6
+
+    def test_order1_dynamic_mode(self):
+        """order composes with the dynamic policy (decision path untouched)."""
+        cfg, params, inp, ts = _setup(n_steps=8)
+        stats = {}
+        out = _run(
+            cfg, params, inp, ts,
+            cache=CacheConfig(mode="dynamic", threshold=1e9, warmup=2, tail=1, order=1),
+            stats=stats,
+        )
+        assert int(stats["model_evals"]) == 3
+        assert np.isfinite(np.asarray(out, np.float32)).all()
 
     def test_requires_fused_and_default_runner(self):
         cfg, params, inp, ts = _setup(n_steps=2)
