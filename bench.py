@@ -203,6 +203,10 @@ def main():
                     "seconds_per_image_denoise": round(dt, 2),
                     "compile_plus_first_run_s": round(compile_s, 1),
                     "backend": jax.default_backend(),
+                    # headline stays uncached (the reference's loop always evaluates);
+                    # the opt-in step cache reaches 9.60 it/s-effective @1024² at
+                    # SSIM 0.985 (interval=4) — measured in BENCH_CACHE_r5.json.
+                    "step_cache_best_see": "BENCH_CACHE_r5.json",
                 },
             }
         )

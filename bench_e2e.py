@@ -19,8 +19,13 @@ this image; wall clock doesn't depend on values). Two single-chip memory plans:
   the same images/min as the all-resident default.
 
 Usage: python bench_e2e.py [width height steps] [--t5-bits {2,4}] [--flow {fp8,int4}]
-       [--offload] [--schnell] → one JSON line. --schnell switches to the 4-step
-       flux-schnell arch (no guidance embed, 256 T5 tokens).
+       [--offload] [--schnell] [--cache SPEC] [--repeat-prompt] → one JSON line.
+       --schnell switches to the 4-step flux-schnell arch (no guidance embed, 256 T5
+       tokens). --cache turns on the step cache (sampling.CacheConfig): SPEC is a JSON
+       dict or one of the UI preset shorthands interval4 / interval3 / dynamic
+       (docs/PERF.md table). Iterations use distinct prompts by default so the
+       conditioning LRU can't inflate the headline; --repeat-prompt measures the
+       repeated-prompt (seed-sweep) steady state instead, labeled as such.
 """
 
 import json
@@ -139,6 +144,24 @@ def main():
         del argv[i : i + 2]
         if flow_kind not in ("fp8", "fp8_exact", "int8", "int4"):
             raise SystemExit(f"--flow {flow_kind}: expected fp8|fp8_exact|int8|int4")
+    cache = None
+    cache_name = "off"
+    if "--cache" in argv:
+        i = argv.index("--cache")
+        cache_name = argv[i + 1]
+        del argv[i : i + 2]
+        shorthands = {
+            "interval4": {"mode": "interval", "interval": 4},
+            "interval3": {"mode": "interval", "interval": 3},
+            "dynamic": {"mode": "dynamic", "threshold": 0.4},
+        }
+        cache = shorthands.get(cache_name) or json.loads(cache_name)
+    # --repeat-prompt: reuse one prompt across iterations → the conditioning LRU
+    # serves every request after the first (the repeated-prompt steady state, e.g.
+    # seed sweeps). Labeled in the metric name; the default is distinct prompts.
+    repeat_prompt = "--repeat-prompt" in argv
+    if repeat_prompt:
+        argv.remove("--repeat-prompt")
     offload = "--offload" in argv
     if offload:
         argv.remove("--offload")
@@ -207,25 +230,37 @@ def main():
 
     prompt = "a (beautiful:1.2) photograph of a mountain lake at dawn, mist over the water"
     t0 = time.perf_counter()
-    pipe.generate(prompt=prompt, width=width, height=height, num_steps=steps, seed=1, silent=True)
+    pipe.generate(
+        prompt=prompt, width=width, height=height, num_steps=steps, seed=1,
+        silent=True, cache=cache,
+    )
     warm = time.perf_counter() - t0
     print(f"warmup (compiles): {warm:.1f}s", file=sys.stderr)
 
     n = 1 if offload else 3  # offload runs are host-link-bound; one run is exact enough
     t0 = time.perf_counter()
     for i in range(n):
+        # distinct prompt per iteration: the conditioning LRU (on by default) would
+        # otherwise skip T5 after warmup and overstate images/min vs the reference,
+        # which re-encodes every request — this keeps the headline the distinct-
+        # prompt worst case (and comparable with rounds 1-4, measured pre-cache).
         out = pipe.generate(
-            prompt=prompt, width=width, height=height, num_steps=steps, seed=100 + i, silent=True
+            prompt=prompt if repeat_prompt else f"{prompt}, variant {i}",
+            width=width, height=height,
+            num_steps=steps, seed=100 + i, silent=True, cache=cache,
         )
     dt = (time.perf_counter() - t0) / n
     jpeg_bytes = len(out.getvalue())
 
     plan = f"T5-XXL wo_int{t5_bits}" + (" offloaded" if offload else "")
     flavor = "flux-schnell" if schnell else "flux-dev"
+    cache_tag = "" if cache is None else f" + cache {cache_name}"
+    if repeat_prompt:
+        cache_tag += " (repeated prompt: cond-cache steady state)"
     print(
         json.dumps(
             {
-                "metric": f"e2e images/min @{width}x{height} {flavor} {flow_kind} + {plan} + CLIP wo_int8 + VAE, {steps} steps (TPU v5e)",
+                "metric": f"e2e images/min @{width}x{height} {flavor} {flow_kind} + {plan} + CLIP wo_int8 + VAE, {steps} steps{cache_tag} (TPU v5e)",
                 "value": round(60.0 / dt, 3),
                 "unit": "images/min",
                 "detail": {
@@ -236,6 +271,10 @@ def main():
                     "jpeg_bytes": jpeg_bytes,
                     "warmup_s": round(warm, 1),
                     "offload": offload,
+                    "cache": cache,
+                    "cache_model_evals": pipe.timings.get("cache_model_evals"),
+                    # 0 hits proves the headline is the distinct-prompt worst case
+                    "cond_cache_hits": pipe.cond_cache_hits,
                 },
             }
         )

@@ -23,6 +23,7 @@ import dataclasses
 import io
 import math
 import time
+from collections import OrderedDict
 from typing import Any, Dict, List, Optional, Union
 
 import jax
@@ -273,6 +274,16 @@ class FluxPipeline:
         self._amax_running = None
         self._trials_done = 0
 
+        # prompt→(vec, txt) conditioning LRU (ModelSpec.cond_cache_size): text
+        # encoders are immutable post-load (LoRA targets the flow only), so entries
+        # never invalidate. Values are the raw N=1 encoder outputs, device-resident
+        # (~8MB each at 512 T5 tokens); cast + flow placement happen per request as
+        # before, so the mesh/dtype paths are untouched. On a full hit the encoders
+        # are never moved to the device at all (offload_text_encoder plans).
+        self._cond_cache: "OrderedDict" = OrderedDict()
+        self.cond_cache_hits = 0
+        self.cond_cache_misses = 0
+
         self.loras: List = []  # LoraWeights registry (reference flux_model.py:518)
         # streamed-offload state: (jitted fns, device tops, host per-block slices);
         # built lazily on the first streamed generate, invalidated whenever the
@@ -522,24 +533,58 @@ class FluxPipeline:
             x = t * x + (1.0 - t) * z
         return x, timesteps
 
+    def _encode_prompts(self, prompts: List[str]):
+        """Encode each distinct prompt at N=1 through the conditioning LRU
+        (``ModelSpec.cond_cache_size``) → {prompt: (vec (1, 768), txt (1, L, 4096))}.
+
+        The reference re-encodes every request (flux_pipeline.py:525-560); here a
+        repeated prompt skips both text encoders, and — the big win under
+        ``offload_text_encoder`` — skips the host→device weight round trip entirely:
+        encoders are only moved when at least one prompt misses. emphasis.py repeats
+        its N=1 encode for num_images_per_prompt>1 (emphasis.py:271-273), so caching
+        at N=1 and broadcasting outside is bit-identical to the uncached path."""
+        size = self.config.cond_cache_size
+        t5_len = self.config.text_enc_max_length
+        out: Dict[str, Any] = {}
+        misses: List[str] = []
+        for p in dict.fromkeys(prompts):
+            hit = self._cond_cache.get((p, t5_len)) if size > 0 else None
+            if hit is not None:
+                self._cond_cache.move_to_end((p, t5_len))
+                self.cond_cache_hits += 1
+                out[p] = hit
+            else:
+                self.cond_cache_misses += 1
+                misses.append(p)
+        if misses:
+            if self.offload_text_encoder:
+                self.clip.to_device()
+                self.t5.to_device()
+            for p in misses:
+                enc = get_weighted_text_embeddings(
+                    self.clip, self.t5, p, num_images_per_prompt=1, t5_length=t5_len
+                )
+                out[p] = enc
+                if size > 0:
+                    self._cond_cache[(p, t5_len)] = enc
+                    while len(self._cond_cache) > size:
+                        self._cond_cache.popitem(last=False)
+            if self.offload_text_encoder:
+                self.clip.to_host()
+                self.t5.to_host()
+        self.timings["cond_cache_hits"] = self.cond_cache_hits
+        self.timings["cond_cache_misses"] = self.cond_cache_misses
+        return out
+
     def embed_text(self, prompt: str, num_images: int = 1):
         """→ (clip vec (N, vec_in_dim), t5 txt (N, L, ctx_dim)) with the emphasis
         grammar applied and text-encoder offload handled — the single-prompt text
         path of :meth:`prepare`, exposed for callers that batch their own latents
         (e.g. the LoRA trainer's dataset encoder, train_lora.py)."""
-        if self.offload_text_encoder:
-            self.clip.to_device()
-            self.t5.to_device()
-        vec, txt = get_weighted_text_embeddings(
-            self.clip,
-            self.t5,
-            prompt,
-            num_images_per_prompt=num_images,
-            t5_length=self.config.text_enc_max_length,
-        )
-        if self.offload_text_encoder:
-            self.clip.to_host()
-            self.t5.to_host()
+        vec, txt = self._encode_prompts([prompt])[prompt]
+        if num_images > 1:
+            vec = jnp.repeat(vec, num_images, axis=0)
+            txt = jnp.repeat(txt, num_images, axis=0)
         return vec, txt
 
     def prepare(self, img: jnp.ndarray, prompt: Union[str, List[str]]):
@@ -552,37 +597,22 @@ class FluxPipeline:
             packed = jnp.repeat(packed, bs, axis=0)
         img_ids = make_img_ids(h, w, bs)
 
-        if self.offload_text_encoder:
-            self.clip.to_device()
-            self.t5.to_device()
         if isinstance(prompt, str) or len(set(prompt)) == 1:
-            # one prompt (possibly repeated): single encode, batch-broadcast
+            # one prompt (possibly repeated): single cached N=1 encode, broadcast
             prompt_str = prompt if isinstance(prompt, str) else prompt[0]
-            vec, txt = get_weighted_text_embeddings(
-                self.clip,
-                self.t5,
-                prompt_str,
-                num_images_per_prompt=bs,
-                t5_length=self.config.text_enc_max_length,
-            )
+            vec, txt = self._encode_prompts([prompt_str])[prompt_str]
+            if bs > 1:
+                vec = jnp.repeat(vec, bs, axis=0)
+                txt = jnp.repeat(txt, bs, axis=0)
         else:
             # distinct prompts per batch row (an extension over the reference's
             # str-only API): encode each and stack — previously row 0's prompt was
             # silently used for every image
             if len(prompt) != bs:
                 raise ValueError(f"got {len(prompt)} prompts for batch size {bs}")
-            encs = [
-                get_weighted_text_embeddings(
-                    self.clip, self.t5, p, num_images_per_prompt=1,
-                    t5_length=self.config.text_enc_max_length,
-                )
-                for p in prompt
-            ]
-            vec = jnp.concatenate([v for v, _ in encs], axis=0)
-            txt = jnp.concatenate([t for _, t in encs], axis=0)
-        if self.offload_text_encoder:
-            self.clip.to_host()
-            self.t5.to_host()
+            encs = self._encode_prompts(prompt)
+            vec = jnp.concatenate([encs[p][0] for p in prompt], axis=0)
+            txt = jnp.concatenate([encs[p][1] for p in prompt], axis=0)
         txt_ids = make_txt_ids(txt.shape[1], bs)
         vec = self._put_flow_input(vec.astype(self.dtype))
         txt = self._put_flow_input(txt.astype(self.dtype))

@@ -178,6 +178,12 @@ class ModelSpec(BaseModel):
     # v5e has no fp8 MXU, so the exact path runs at bf16 speed plus cast overhead
     # (~29% slower than this for no accuracy gain). False = bit-faithful fp8 semantics.
     fp8_fast_accum: bool = True
+    # LRU size of the prompt→(CLIP vec, T5 txt) conditioning cache: repeated prompts
+    # skip both text encoders entirely (and, under offload_text_encoder, skip the
+    # host→device round trip — the dominant per-request cost of the offload plans).
+    # Entries are device-resident post-cast (~4MB each at 512 T5 tokens). 0 disables.
+    # The reference re-encodes every request (flux_pipeline.py:525-560).
+    cond_cache_size: int = 8
     # Persistent XLA compilation cache directory. A flux-dev serving bucket takes
     # 20-60s to compile on one v5e; with this set, restarts reload the compiled
     # executable from disk instead (the torch.compile / inductor cache analog,

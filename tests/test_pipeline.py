@@ -492,3 +492,108 @@ class TestHubIdFallback:
         except (FileNotFoundError, OSError):
             raised = True
         assert raised
+
+
+class TestConditioningCache:
+    """prompt→(vec, txt) LRU (ModelSpec.cond_cache_size): repeated prompts skip the
+    text encoders entirely. The reference re-encodes every request
+    (flux_pipeline.py:525-560) — this is a TPU-stack extra."""
+
+    def _count_encodes(self, monkeypatch):
+        import flux_fp8_api_tpu.pipeline as pl
+
+        calls = {"n": 0}
+        real = pl.get_weighted_text_embeddings
+
+        def counting(*a, **kw):
+            calls["n"] += 1
+            return real(*a, **kw)
+
+        monkeypatch.setattr(pl, "get_weighted_text_embeddings", counting)
+        return calls
+
+    def test_repeated_prompt_hits_and_output_identical(self, monkeypatch):
+        pipe = make_pipeline()
+        calls = self._count_encodes(monkeypatch)
+        out1 = pipe.generate(prompt="same cat", width=64, height=64, num_steps=2,
+                             seed=7, silent=True)
+        out2 = pipe.generate(prompt="same cat", width=64, height=64, num_steps=2,
+                             seed=7, silent=True)
+        assert calls["n"] == 1  # second request never touched the encoders
+        assert out1.getvalue() == out2.getvalue()
+        assert pipe.cond_cache_hits == 1 and pipe.cond_cache_misses == 1
+        # exposed via timings → both servers' /metrics pick it up
+        assert pipe.timings["cond_cache_hits"] == 1
+
+    def test_distinct_prompts_miss(self, monkeypatch):
+        pipe = make_pipeline()
+        calls = self._count_encodes(monkeypatch)
+        pipe.embed_text("cat")
+        pipe.embed_text("dog")
+        pipe.embed_text("cat")
+        assert calls["n"] == 2
+        assert pipe.cond_cache_hits == 1 and pipe.cond_cache_misses == 2
+
+    def test_cached_broadcast_matches_uncached_batch(self):
+        """prepare's cached N=1-encode+repeat must equal the old
+        num_images_per_prompt=bs encode (emphasis.py repeats N=1 internally too)."""
+        pipe_c = make_pipeline()
+        pipe_u = make_pipeline(cond_cache_size=0)
+        img = jnp.zeros((2, pipe_c.config.params.in_channels // 4, 16, 16),
+                        pipe_c.dtype)
+        _, _, vec_c, txt_c, _ = pipe_c.prepare(img, "a (fluffy:1.3) cat")
+        _, _, vec_u, txt_u, _ = pipe_u.prepare(img, "a (fluffy:1.3) cat")
+        assert vec_c.shape[0] == 2 and txt_c.shape[0] == 2
+        np.testing.assert_array_equal(np.asarray(vec_c), np.asarray(vec_u))
+        np.testing.assert_array_equal(np.asarray(txt_c), np.asarray(txt_u))
+
+    def test_distinct_prompt_batch_rows_dedup(self, monkeypatch):
+        pipe = make_pipeline()
+        calls = self._count_encodes(monkeypatch)
+        img = jnp.zeros((3, pipe.config.params.in_channels // 4, 16, 16), pipe.dtype)
+        _, _, vec, txt, _ = pipe.prepare(img, ["cat", "dog", "cat"])
+        assert calls["n"] == 2  # "cat" encoded once, reused for row 2
+        assert vec.shape[0] == 3 and txt.shape[0] == 3
+        np.testing.assert_array_equal(np.asarray(txt)[0], np.asarray(txt)[2])
+        assert not np.array_equal(np.asarray(txt)[0], np.asarray(txt)[1])
+
+    def test_size_zero_disables(self, monkeypatch):
+        pipe = make_pipeline(cond_cache_size=0)
+        calls = self._count_encodes(monkeypatch)
+        pipe.embed_text("cat")
+        pipe.embed_text("cat")
+        assert calls["n"] == 2
+        assert len(pipe._cond_cache) == 0
+
+    def test_lru_evicts_oldest(self, monkeypatch):
+        pipe = make_pipeline(cond_cache_size=2)
+        calls = self._count_encodes(monkeypatch)
+        pipe.embed_text("a")
+        pipe.embed_text("b")
+        pipe.embed_text("a")   # refresh a → b is now LRU
+        pipe.embed_text("c")   # evicts b
+        assert len(pipe._cond_cache) == 2
+        pipe.embed_text("a")   # hit
+        pipe.embed_text("b")   # miss (was evicted)
+        assert calls["n"] == 4  # a, b, c, b-again
+
+    def test_full_hit_skips_offload_round_trip(self, monkeypatch):
+        pipe = make_pipeline(offload_text_encoder=True)
+        moves = {"n": 0}
+        real_to_device = pipe.t5.to_device
+
+        def counting_to_device():
+            moves["n"] += 1
+            return real_to_device()
+
+        monkeypatch.setattr(pipe.t5, "to_device", counting_to_device)
+        pipe.embed_text("cat")
+        assert moves["n"] == 1
+        pipe.embed_text("cat")  # full hit: encoders never move
+        assert moves["n"] == 1
+
+    def test_num_images_repeat(self):
+        pipe = make_pipeline()
+        vec, txt = pipe.embed_text("cat", num_images=3)
+        assert vec.shape[0] == 3 and txt.shape[0] == 3
+        np.testing.assert_array_equal(np.asarray(txt)[0], np.asarray(txt)[2])
